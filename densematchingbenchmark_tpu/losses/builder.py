@@ -1,0 +1,59 @@
+"""Config-driven combined loss evaluator.
+
+Parity target: dmb/modeling/stereo/losses/builder.py:54-109
+(CombinedLossEvaluators / make_gsm_loss_evaluator). The loss section of a
+model config is a dict of loss-name -> kwargs; each named loss contributes a
+weighted dict of per-level scalars, merged into one loss dict. The total
+training loss is the sum of every entry (reference parse_losses,
+dmb/apis/train.py:37-54).
+"""
+
+from .disp_losses import smooth_l1_loss, gerf_loss
+from .focal import stereo_focal_loss
+
+
+class CombinedLossEvaluator:
+    """Callable: (disps, costs, gt, variance=..., disp_sample=...) -> dict."""
+
+    def __init__(self, losses_cfg, sparse=False):
+        self.cfg = dict(losses_cfg)
+        self.sparse = sparse
+
+    def __call__(self, disps, costs, gt_disp, variance=None, disp_sample=None):
+        loss_dict = {}
+        for name, cfg in self.cfg.items():
+            cfg = dict(cfg)
+            weight = cfg.pop("weight", 1.0)
+            if name == "l1_loss":
+                part = smooth_l1_loss(
+                    disps, gt_disp, max_disp=cfg["max_disp"],
+                    start_disp=cfg.get("start_disp", 0),
+                    weights=cfg.get("weights"), sparse=self.sparse)
+            elif name == "gerf_loss":
+                part = gerf_loss(
+                    disps, gt_disp, max_disp=cfg["max_disp"],
+                    start_disp=cfg.get("start_disp", 0),
+                    weights=cfg.get("weights"), sparse=self.sparse)
+            elif name == "focal_loss":
+                var = variance if variance is not None \
+                    else cfg.get("variance", 1.0)
+                part = stereo_focal_loss(
+                    costs, gt_disp, max_disp=cfg["max_disp"], variance=var,
+                    start_disp=cfg.get("start_disp", 0),
+                    dilation=cfg.get("dilation", 1),
+                    weights=cfg.get("weights"),
+                    focal_coefficient=cfg.get("coefficient", 0.0),
+                    sparse=self.sparse, disp_sample=disp_sample)
+            else:
+                raise ValueError(f"unknown loss '{name}'")
+            loss_dict.update({k: weight * v for k, v in part.items()})
+        return loss_dict
+
+
+def make_loss_evaluator(losses_cfg, sparse=False):
+    return CombinedLossEvaluator(losses_cfg, sparse)
+
+
+def total_loss(loss_dict):
+    """Sum every entry whose key contains 'loss' (reference parse_losses)."""
+    return sum(v for k, v in loss_dict.items() if "loss" in k)

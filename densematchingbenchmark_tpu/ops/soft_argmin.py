@@ -1,0 +1,79 @@
+"""Soft-argmin disparity regression family.
+
+Parity targets:
+  dmb/modeling/stereo/disp_predictors/soft_argmin.py:5-89
+  dmb/modeling/stereo/disp_predictors/faster_soft_argmin.py:6-89
+  dmb/modeling/stereo/disp_predictors/local_soft_argmin.py:5-123
+
+The reference's SoftArgmin and FasterSoftArgmin compute the same expectation;
+"Faster" only bakes the disparity weights into a frozen Conv3d because torch
+dispatches that faster on GPU. On TPU the plain softmax + weighted sum fuses
+into a single VPU pass under XLA, so there is one implementation. A Pallas
+fused softmax-expectation kernel can later slot in behind the same signature.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .cost_volume import disp_sample_values
+
+
+def soft_argmin(cost_volume, disp_sample=None, max_disp=None, start_disp=0,
+                dilation=1, alpha=1.0, normalize=True):
+    """Expected disparity under softmax(cost * alpha) over the D axis.
+
+    Args:
+      cost_volume: [B, D, H, W] matching scores (higher = more similar).
+      disp_sample: per-pixel samples [B, D, H, W]; if None, uses the uniform
+        range defined by (max_disp, start_disp, dilation).
+      alpha: temperature multiplier on the cost.
+      normalize: if False, treats cost_volume as already-normalized
+        probabilities (no softmax).
+
+    Returns:
+      [B, H, W, 1] disparity map.
+    """
+    b, d, h, w = cost_volume.shape
+    prob = cost_volume * alpha
+    if normalize:
+        prob = jax.nn.softmax(prob, axis=1)
+    if disp_sample is None:
+        assert max_disp is not None, "need max_disp when disp_sample is None"
+        vals = disp_sample_values(max_disp, start_disp, dilation)
+        assert len(vals) == d, (
+            f"cost volume has {d} samples, range defines {len(vals)}")
+        disp_sample = jnp.asarray(vals, dtype=prob.dtype)[None, :, None, None]
+    disp = jnp.sum(prob * disp_sample, axis=1)
+    return disp[..., None]
+
+
+def local_soft_argmin(cost_volume, max_disp, radius, start_disp=0, dilation=1,
+                      radius_dilation=1, alpha=1.0):
+    """Windowed soft-argmin around the argmax sample (eval-time predictor).
+
+    Gathers a +-radius window (step ``radius_dilation``) of array indices
+    around the per-pixel argmax, masks out-of-range entries with a large
+    negative score, softmaxes within the window, and takes the expectation of
+    the corresponding *real* disparities (start_disp + index * dilation).
+    Non-differentiable (argmax), used at eval for unimodal-supervised models
+    (AcfNet). Parity: local_soft_argmin.py:54-110.
+
+    Returns:
+      [B, H, W, 1] disparity map.
+    """
+    b, d, h, w = cost_volume.shape
+    num = (max_disp + dilation - 1) // dilation
+    assert d == num, f"cost volume D={d} inconsistent with range D={num}"
+
+    max_index = jnp.argmax(cost_volume, axis=1)[:, None]  # [B, 1, H, W]
+    offsets = jnp.arange(-radius * radius_dilation,
+                         radius * radius_dilation + 1,
+                         radius_dilation, dtype=jnp.int32)
+    index_group = max_index + offsets[None, :, None, None]  # [B, 2r+1, H, W]
+    in_range = (index_group >= 0) & (index_group <= d - 1)
+    clipped = jnp.clip(index_group, 0, d - 1)
+    gathered = jnp.take_along_axis(cost_volume, clipped, axis=1) * alpha
+    masked = jnp.where(in_range, gathered, -10000.0 * alpha)
+    prob = jax.nn.softmax(masked, axis=1)
+    disp_vals = start_disp + clipped.astype(cost_volume.dtype) * dilation
+    return jnp.sum(prob * disp_vals, axis=1)[..., None]
