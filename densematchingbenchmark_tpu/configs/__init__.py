@@ -1,0 +1,18 @@
+"""Config zoo: one module per (model, dataset) pair, mirroring configs/.
+
+Each module exposes get_config(**overrides) -> nested dict. Field names
+follow the reference's config files (configs/PSMNet/scene_flow.py etc.) so
+users can diff them 1:1; paths/hardware fields are replaced by TPU-native
+equivalents.
+"""
+
+from . import psmnet
+
+CONFIGS = {
+    "PSMNet/scene_flow": psmnet.scene_flow,
+    "PSMNet/kitti_2015": psmnet.kitti_2015,
+}
+
+
+def get_config(name, **overrides):
+    return CONFIGS[name](**overrides)

@@ -8,16 +8,32 @@ training loss is the sum of every entry (reference parse_losses,
 dmb/apis/train.py:37-54).
 """
 
-from .disp_losses import smooth_l1_loss, gerf_loss
+from .disp_losses import smooth_l1_loss, gerf_loss, conf_nll_loss
 from .focal import stereo_focal_loss
 
 
 class CombinedLossEvaluator:
-    """Callable: (disps, costs, gt, variance=..., disp_sample=...) -> dict."""
+    """Callable: (disps, costs, gt, variance=..., disp_sample=...) -> dict.
 
-    def __init__(self, losses_cfg, sparse=False):
+    cmn_losses_cfg (AcfNet-adaptive): config for the confidence NLL loss
+    applied to the cmn's pre-sigmoid conf costs via .cmn_loss()
+    (reference: dmb/modeling/stereo/cmn/loss.py:15-47).
+    """
+
+    def __init__(self, losses_cfg, sparse=False, cmn_losses_cfg=None):
         self.cfg = dict(losses_cfg)
         self.sparse = sparse
+        self.cmn_cfg = dict(cmn_losses_cfg) if cmn_losses_cfg else None
+
+    def cmn_loss(self, conf_costs, gt_disp):
+        if not self.cmn_cfg or "nll_loss" not in self.cmn_cfg:
+            return {}
+        cfg = dict(self.cmn_cfg["nll_loss"])
+        weight = cfg.pop("weight", 1.0)
+        part = conf_nll_loss(conf_costs, gt_disp, max_disp=cfg["max_disp"],
+                             start_disp=cfg.get("start_disp", 0),
+                             weights=cfg.get("weights"), sparse=self.sparse)
+        return {k: weight * v for k, v in part.items()}
 
     def __call__(self, disps, costs, gt_disp, variance=None, disp_sample=None):
         loss_dict = {}
@@ -50,8 +66,8 @@ class CombinedLossEvaluator:
         return loss_dict
 
 
-def make_loss_evaluator(losses_cfg, sparse=False):
-    return CombinedLossEvaluator(losses_cfg, sparse)
+def make_loss_evaluator(losses_cfg, sparse=False, cmn_losses_cfg=None):
+    return CombinedLossEvaluator(losses_cfg, sparse, cmn_losses_cfg)
 
 
 def total_loss(loss_dict):

@@ -1,0 +1,96 @@
+"""Config-driven model zoo builder.
+
+Parity target: the reference's string-keyed builders
+(dmb/modeling/__init__.py:10-12, dmb/modeling/stereo/*/builder.py). Configs
+are plain nested dicts (see densematchingbenchmark_tpu/configs/) with the
+same field names as the reference's Python config files, so a reference user
+can port a config by mostly renaming nothing.
+"""
+
+import jax.numpy as jnp
+
+from .generalized import GeneralizedStereoModel
+from .cost_processors import CostProcessor
+from .predictors import build_disp_predictor
+from .cmn import Cmn
+from .backbones.psmnet import PSMNetBackbone
+from .aggregators.psmnet import PSMAggregator
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+BACKBONES = {
+    "PSMNet": PSMNetBackbone,
+}
+
+AGGREGATORS = {
+    "PSMNet": PSMAggregator,
+}
+
+VOLUME_TYPES = {
+    "Concatenation": "concatenation",
+    "Difference": "difference",
+    "Correlation": "correlation",
+}
+
+
+def build_backbone(model_cfg, dtype):
+    cfg = model_cfg["backbone"]
+    cls = BACKBONES[cfg["type"]]
+    kwargs = {k: v for k, v in cfg.items() if k != "type"}
+    return cls(batch_norm=model_cfg.get("batch_norm", True), dtype=dtype,
+               **kwargs)
+
+
+def build_aggregator(agg_cfg, batch_norm, dtype):
+    cls = AGGREGATORS[agg_cfg["type"]]
+    kwargs = {k: v for k, v in agg_cfg.items()
+              if k not in ("type", "in_planes")}
+    return cls(batch_norm=batch_norm, dtype=dtype, **kwargs)
+
+
+def build_cost_processor(model_cfg, dtype, mesh=None):
+    cfg = model_cfg["cost_processor"]
+    comp = cfg.get("cost_computation", {})
+    aggregator = build_aggregator(cfg["cost_aggregator"],
+                                  model_cfg.get("batch_norm", True), dtype)
+    volume_sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import cost_volume_sharding
+        volume_sharding = cost_volume_sharding(mesh)
+    return CostProcessor(
+        aggregator=aggregator,
+        volume_type=VOLUME_TYPES[cfg["type"]],
+        max_disp=comp.get("max_disp", model_cfg["max_disp"]),
+        start_disp=comp.get("start_disp", 0),
+        dilation=comp.get("dilation", 1),
+        normalize=comp.get("normalize", False),
+        p=comp.get("p", 1.0),
+        dtype=dtype,
+        volume_sharding=volume_sharding)
+
+
+def build_model(cfg, mesh=None):
+    """cfg (nested dict, see configs/) -> Flax module.
+
+    Dispatches on cfg['model']['meta_architecture'] like the reference's
+    _META_ARCHITECTURES registry (models/__init__.py:6-10). Passing a mesh
+    enables cost-volume sharding (batch on 'data', disparity on 'model').
+    """
+    model_cfg = cfg["model"]
+    dtype = _DTYPES[model_cfg.get("dtype", "float32")]
+    arch = model_cfg.get("meta_architecture", "GeneralizedStereoModel")
+    if arch == "GeneralizedStereoModel":
+        cmn = None
+        if "cmn" in model_cfg:
+            c = model_cfg["cmn"]
+            cmn = Cmn(in_planes=c["in_planes"], num=c["num"],
+                      alpha=c["alpha"], beta=c["beta"],
+                      batch_norm=model_cfg.get("batch_norm", True),
+                      dtype=dtype)
+        return GeneralizedStereoModel(
+            backbone=build_backbone(model_cfg, dtype),
+            cost_processor=build_cost_processor(model_cfg, dtype, mesh),
+            disp_predictor=build_disp_predictor(model_cfg["disp_predictor"]),
+            cmn=cmn,
+            disp_refinement=None)
+    raise ValueError(f"unknown meta architecture {arch}")

@@ -1,0 +1,45 @@
+"""GeneralizedStereoModel: backbone -> cost processor -> predictor
+[-> refinement] [-> confidence].
+
+Parity target: dmb/modeling/stereo/models/general_stereo_model.py:14-92,
+with one structural change: losses live *outside* the module. The module is
+a pure function from (left, right) to
+  {'disps': [...], 'costs': [...], 'variances': [...], 'conf_costs': [...],
+   'confs': [...]}
+(best-first lists, "we always keep the better disparity map ahead" —
+disp_refinement/AnyNet.py:93-94), and the functional loss evaluator consumes
+that dict plus the GT. This keeps the forward jit-able for inference and
+lets the train step take grads through a single pure apply.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .predictors import DispPredictor
+
+
+class GeneralizedStereoModel(nn.Module):
+    backbone: nn.Module
+    cost_processor: nn.Module
+    disp_predictor: DispPredictor
+    cmn: Optional[nn.Module] = None
+    disp_refinement: Optional[nn.Module] = None
+
+    @nn.compact
+    def __call__(self, left, right, train: bool = False):
+        ref_fms, tgt_fms = self.backbone(left, right, train=train)
+        costs = self.cost_processor(ref_fms, tgt_fms, train=train)
+        disps = [self.disp_predictor(cost) for cost in costs]
+
+        if self.disp_refinement is not None:
+            disps = self.disp_refinement(disps, ref_fms, tgt_fms, left, right,
+                                         train=train)
+
+        out = {"disps": disps, "costs": costs}
+        if self.cmn is not None:
+            variances, confs, conf_costs = self.cmn(costs, train=train)
+            out.update(variances=variances, confs=confs,
+                       conf_costs=conf_costs)
+        return out

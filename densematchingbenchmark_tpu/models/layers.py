@@ -1,0 +1,262 @@
+"""Shared Flax layers: conv/BN/ReLU factories (2-D & 3-D), residual block,
+PSMNet 3-D hourglass.
+
+Parity targets: dmb/modeling/stereo/layers/basic_layers.py:7-243 and
+dmb/modeling/stereo/cost_processors/utils/hourglass.py:8-86.
+
+TPU-first choices:
+- Channels-last layouts ([B, H, W, C] / [B, D, H, W, C]) so XLA maps convs
+  onto the MXU without transposes.
+- A compute dtype knob (bf16 on TPU) with f32 params and f32 BatchNorm
+  statistics; BN under jit+GSPMD reduces over the *global* batch, giving
+  synced-BN parity with the reference's apex syncBN for free.
+- Transposed conv implemented directly with lax.conv_general_dilated
+  (lhs_dilation) and explicit padding so output shapes match torch's
+  ConvTranspose formula (out = (in-1)*s - 2p + k + output_padding) exactly.
+"""
+
+from typing import Any, Sequence, Union
+
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+
+def _tuple(x, n):
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n
+        return tuple(x)
+    return (x,) * n
+
+
+def consistent_padding_with_dilation(padding, dilation, dims):
+    """padding[d] = dilation[d] when dilation > 1 (basic_layers.py:14-28)."""
+    padding = _tuple(padding, dims)
+    dilation = _tuple(dilation, dims)
+    padding = tuple(d if d > 1 else p for p, d in zip(padding, dilation))
+    return padding, dilation
+
+
+class ConvTransposeExact(nn.Module):
+    """Transposed conv with torch ConvTranspose{2,3}d shape semantics.
+
+    out = (in - 1) * stride - 2 * padding + kernel + output_padding.
+    Implemented as an input-dilated convolution: lhs_dilation=stride with
+    explicit per-edge padding (k-1-p, k-1-p+output_padding). The kernel is
+    not spatially flipped (irrelevant for randomly-initialized weights).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    dims: int = 3
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = (self.kernel_size, self.stride, self.padding,
+                       self.output_padding)
+        spatial = _tuple(k, self.dims)
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            spatial + (x.shape[-1], self.features), jnp.float32)
+        pad = [(k - 1 - p, k - 1 - p + op)] * self.dims
+        lhs_spec = "N" + "DHW"[3 - self.dims:] + "C"
+        rhs_spec = "DHW"[3 - self.dims:] + "IO"
+        out = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1,) * self.dims, padding=pad,
+            lhs_dilation=(s,) * self.dims, rhs_dilation=(1,) * self.dims,
+            dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
+            preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
+class ConvUnit(nn.Module):
+    """conv[Transpose] -> optional BN -> optional ReLU, order switchable.
+
+    One module covers the reference's conv_bn / conv_bn_relu / bn_relu_conv /
+    deconv*_bn(_relu) factory zoo for both 2-D and 3-D (basic_layers.py).
+    ``pre_norm=True`` gives the bn_relu_conv ordering.
+    """
+    features: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Union[int, Sequence[int]] = 1
+    dilation: Union[int, Sequence[int]] = 1
+    dims: int = 2
+    batch_norm: bool = True
+    relu: bool = True
+    pre_norm: bool = False
+    bias: bool = True
+    transpose: bool = False
+    output_padding: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+
+        def norm(h):
+            if not self.batch_norm:
+                return h
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, axis_name=None)(h).astype(self.dtype)
+
+        if self.pre_norm:
+            x = norm(x)
+            x = nn.relu(x) if self.relu else x
+
+        if self.transpose:
+            x = ConvTransposeExact(
+                features=self.features, kernel_size=self.kernel_size,
+                stride=self.stride, padding=self.padding,
+                output_padding=self.output_padding, dims=self.dims,
+                use_bias=self.bias, dtype=self.dtype)(x)
+        else:
+            padding, dilation = consistent_padding_with_dilation(
+                self.padding, self.dilation, self.dims)
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=_tuple(self.kernel_size, self.dims),
+                strides=_tuple(self.stride, self.dims),
+                padding=[(p, p) for p in padding],
+                kernel_dilation=dilation, use_bias=self.bias,
+                dtype=self.dtype, param_dtype=jnp.float32)(x)
+
+        if not self.pre_norm:
+            x = norm(x)
+            x = nn.relu(x) if self.relu else x
+        return x
+
+
+def conv_bn(batch_norm, features, kernel_size=3, stride=1, padding=1,
+            dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=2,
+                    batch_norm=batch_norm, relu=False, bias=bias, dtype=dtype)
+
+
+def conv_bn_relu(batch_norm, features, kernel_size=3, stride=1, padding=1,
+                 dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=2,
+                    batch_norm=batch_norm, relu=True, bias=bias, dtype=dtype)
+
+
+def bn_relu_conv(batch_norm, features, kernel_size=3, stride=1, padding=1,
+                 dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=2,
+                    batch_norm=batch_norm, relu=True, pre_norm=True,
+                    bias=bias, dtype=dtype)
+
+
+def conv3d_bn(batch_norm, features, kernel_size=3, stride=1, padding=1,
+              dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=3,
+                    batch_norm=batch_norm, relu=False, bias=bias, dtype=dtype)
+
+
+def conv3d_bn_relu(batch_norm, features, kernel_size=3, stride=1, padding=1,
+                   dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=3,
+                    batch_norm=batch_norm, relu=True, bias=bias, dtype=dtype)
+
+
+def bn_relu_conv3d(batch_norm, features, kernel_size=3, stride=1, padding=1,
+                   dilation=1, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dilation, dims=3,
+                    batch_norm=batch_norm, relu=True, pre_norm=True,
+                    bias=bias, dtype=dtype)
+
+
+def deconv3d_bn(batch_norm, features, kernel_size=4, stride=2, padding=1,
+                output_padding=0, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dims=3,
+                    batch_norm=batch_norm, relu=False, bias=bias,
+                    transpose=True, output_padding=output_padding,
+                    dtype=dtype)
+
+
+def deconv3d_bn_relu(batch_norm, features, kernel_size=4, stride=2, padding=1,
+                     output_padding=0, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dims=3,
+                    batch_norm=batch_norm, relu=True, bias=bias,
+                    transpose=True, output_padding=output_padding,
+                    dtype=dtype)
+
+
+def deconv_bn_relu(batch_norm, features, kernel_size=4, stride=2, padding=1,
+                   output_padding=0, bias=True, dtype=jnp.float32):
+    return ConvUnit(features, kernel_size, stride, padding, dims=2,
+                    batch_norm=batch_norm, relu=True, bias=bias,
+                    transpose=True, output_padding=output_padding,
+                    dtype=dtype)
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block (basic_layers.py:217-243). expansion = 1."""
+    features: int
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    batch_norm: bool = True
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = conv_bn_relu(self.batch_norm, self.features, 3, self.stride,
+                           self.padding, self.dilation, bias=False,
+                           dtype=self.dtype)(x, train)
+        out = conv_bn(self.batch_norm, self.features, 3, 1, self.padding,
+                      self.dilation, bias=False, dtype=self.dtype)(out, train)
+        if self.downsample:
+            x = conv_bn(self.batch_norm, self.features, 1, self.stride, 0, 1,
+                        dtype=self.dtype)(x, train)
+        return out + x
+
+
+class Hourglass3D(nn.Module):
+    """PSMNet 3-D hourglass with pre/post skip wiring (hourglass.py:8-86).
+
+    Input [B, D, H, W, C]; strides only touch H and W?? — no: the PSMNet
+    hourglass strides D, H and W together (kernel 3, stride 2 on all three).
+    Returns (out, pre, post) like the reference so stacked hourglasses can
+    cross-wire their skip connections.
+    """
+    features: int  # C of the input volume
+    batch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
+        c2 = self.features * 2
+        out = conv3d_bn_relu(self.batch_norm, c2, 3, 2, 1, bias=False,
+                             dtype=self.dtype)(x, train)           # 1/2
+        pre = conv3d_bn(self.batch_norm, c2, 3, 1, 1, bias=False,
+                        dtype=self.dtype)(out, train)
+        if postsqu is not None:
+            pre = nn.relu(pre + postsqu)
+        else:
+            pre = nn.relu(pre)
+
+        out = conv3d_bn_relu(self.batch_norm, c2, 3, 2, 1, bias=False,
+                             dtype=self.dtype)(pre, train)         # 1/4
+        out = conv3d_bn_relu(self.batch_norm, c2, 3, 1, 1, bias=False,
+                             dtype=self.dtype)(out, train)
+
+        up1 = deconv3d_bn(self.batch_norm, c2, 3, 2, 1, output_padding=1,
+                          bias=False, dtype=self.dtype)(out, train)  # 1/2
+        post = nn.relu(up1 + (presqu if presqu is not None else pre))
+
+        out = deconv3d_bn(self.batch_norm, self.features, 3, 2, 1,
+                          output_padding=1, bias=False,
+                          dtype=self.dtype)(post, train)             # 1/1
+        return out, pre, post

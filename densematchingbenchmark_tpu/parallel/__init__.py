@@ -1,0 +1,7 @@
+"""Parallelism: device meshes, shardings, distributed helpers."""
+
+from .mesh import (make_mesh, batch_sharding, replicated,
+                   cost_volume_sharding, shard_batch, DATA_AXIS, MODEL_AXIS)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated",
+           "cost_volume_sharding", "shard_batch", "DATA_AXIS", "MODEL_AXIS"]

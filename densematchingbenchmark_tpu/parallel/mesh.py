@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's process-per-GPU NCCL launcher
+(dmb/utils/env.py:16-53, dmb/apis/train.py:114-118). One process drives the
+whole mesh: data parallelism is a NamedSharding over the 'data' axis, and
+cost-volume sharding (the new capability, SURVEY.md §5) uses the 'model'
+axis over the disparity dimension. XLA inserts the collectives (the gradient
+all-reduce that DistOptimizerHook did by hand, dmb/utils/dist_utils.py:16-66,
+is implicit in jit's partitioning of the summed loss).
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh.
+
+    shape: (n_data, n_model); defaults to all devices on the data axis.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    arr = np.asarray(devices[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def cost_volume_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, D, H, W, ...]: batch on data axis, disparity on model axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with batch-dim sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
