@@ -7,10 +7,16 @@ equivalents.
 """
 
 from . import psmnet
+from . import gcnet
+from . import stereonet
 
 CONFIGS = {
     "PSMNet/scene_flow": psmnet.scene_flow,
     "PSMNet/kitti_2015": psmnet.kitti_2015,
+    "GCNet/scene_flow": gcnet.scene_flow,
+    "GCNet/kitti_2015": gcnet.kitti_2015,
+    "StereoNet/scene_flow_8x_2stage": stereonet.scene_flow_8x_2stage,
+    "StereoNet/scene_flow_8x_4stage": stereonet.scene_flow_8x_4stage,
 }
 
 

@@ -1,0 +1,34 @@
+"""GCNet configs. Parity: configs/GCNet/{scene_flow,kitti_2015}.py."""
+
+import copy
+
+from .psmnet import _apply_overrides, _BASE
+
+
+def _base():
+    cfg = copy.deepcopy(_BASE)
+    cfg["model"].update(
+        backbone=dict(type="GCNet", in_planes=3),
+        cost_processor=dict(
+            type="Concatenation",
+            cost_computation=dict(max_disp=96, start_disp=0, dilation=1),
+            cost_aggregator=dict(type="GCNet", max_disp=192, in_planes=64),
+        ),
+        losses=dict(
+            l1_loss=dict(max_disp=192, weights=(1.0,), weight=1.0),
+        ),
+    )
+    cfg["data"]["batch_size_per_device"] = 1
+    return cfg
+
+
+def scene_flow(**overrides):
+    return _apply_overrides(_base(), overrides)
+
+
+def kitti_2015(**overrides):
+    cfg = _base()
+    cfg["data"].update(type="KITTI-2015", sparse=True)
+    cfg["data"]["eval"]["input_shape"] = (384, 1248)
+    cfg["data"]["test"]["input_shape"] = (384, 1248)
+    return _apply_overrides(cfg, overrides)

@@ -14,16 +14,29 @@ from .cost_processors import CostProcessor
 from .predictors import build_disp_predictor
 from .cmn import Cmn
 from .backbones.psmnet import PSMNetBackbone
+from .backbones.gcnet import GCNetBackbone
+from .backbones.stereonet import StereoNetBackbone
 from .aggregators.psmnet import PSMAggregator
+from .aggregators.gcnet import GCAggregator
+from .aggregators.stereonet import StereoNetAggregator
+from .refinement.stereonet import StereoNetRefinement
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 BACKBONES = {
     "PSMNet": PSMNetBackbone,
+    "GCNet": GCNetBackbone,
+    "StereoNet": StereoNetBackbone,
 }
 
 AGGREGATORS = {
     "PSMNet": PSMAggregator,
+    "GCNet": GCAggregator,
+    "StereoNet": StereoNetAggregator,
+}
+
+REFINEMENTS = {
+    "StereoNet": StereoNetRefinement,
 }
 
 VOLUME_TYPES = {
@@ -87,10 +100,18 @@ def build_model(cfg, mesh=None):
                       alpha=c["alpha"], beta=c["beta"],
                       batch_norm=model_cfg.get("batch_norm", True),
                       dtype=dtype)
+        refinement = None
+        if "disp_refinement" in model_cfg:
+            r = model_cfg["disp_refinement"]
+            cls = REFINEMENTS[r["type"]]
+            kwargs = {k: v for k, v in r.items()
+                      if k not in ("type", "in_planes")}
+            refinement = cls(batch_norm=model_cfg.get("batch_norm", True),
+                             dtype=dtype, **kwargs)
         return GeneralizedStereoModel(
             backbone=build_backbone(model_cfg, dtype),
             cost_processor=build_cost_processor(model_cfg, dtype, mesh),
             disp_predictor=build_disp_predictor(model_cfg["disp_predictor"]),
             cmn=cmn,
-            disp_refinement=None)
+            disp_refinement=refinement)
     raise ValueError(f"unknown meta architecture {arch}")

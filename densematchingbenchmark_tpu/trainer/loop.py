@@ -1,0 +1,135 @@
+"""End-to-end training driver.
+
+Parity target: dmb/apis/train.py:66-181 (train_matcher/_dist_train) + the
+mmcv Runner epoch loop, TPU-native: one process drives the mesh, the loader
+prefetches host batches, every step is one jit call, evaluation runs
+per-epoch on-device, checkpoints are orbax TrainStates.
+"""
+
+import time
+
+import numpy as np
+import jax
+
+from ..models import build_model
+from ..losses import make_loss_evaluator
+from ..parallel import make_mesh, shard_batch, replicated
+from ..data import build_dataset, DataLoader, transforms
+from ..evaluation.eval_loop import evaluate
+from ..utils.checkpoint import CheckpointManager
+from ..utils.logging import get_logger, MetricsLogger
+from .state import TrainState
+from .optim import build_optimizer
+from .train_step import make_train_step
+
+
+def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
+                  resume=False, log_interval=10, max_steps=None,
+                  mesh=None, use_volume_sharding=False):
+    """Train a model per config. Returns the final TrainState."""
+    logger = get_logger(work_dir)
+    metrics_log = MetricsLogger(work_dir)
+
+    data_cfg = cfg["data"]
+    mean, std = data_cfg["mean"], data_cfg["std"]
+
+    if train_dataset is None:
+        train_dataset = build_dataset(
+            data_cfg, "train",
+            transform=transforms.make_train_transform(
+                data_cfg["train"]["input_shape"], mean, std))
+    if eval_dataset is None and "eval" in data_cfg and \
+            data_cfg.get("type") != "Synthetic" and \
+            data_cfg["eval"].get("annfile"):
+        eval_dataset = build_dataset(
+            data_cfg, "eval",
+            transform=transforms.make_eval_transform(
+                data_cfg["eval"]["input_shape"], mean, std))
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    global_batch = data_cfg.get("batch_size_per_device", 1) * n_data
+    loader = DataLoader(train_dataset, global_batch,
+                        num_shards=jax.process_count(),
+                        shard_id=jax.process_index(),
+                        seed=cfg.get("seed", 0))
+    steps_per_epoch = loader.steps_per_epoch()
+
+    model = build_model(cfg, mesh=mesh if use_volume_sharding else None)
+    tx, schedule = build_optimizer(cfg, steps_per_epoch)
+    evaluator = make_loss_evaluator(
+        cfg["model"]["losses"], sparse=data_cfg.get("sparse", False),
+        cmn_losses_cfg=cfg["model"].get("cmn", {}).get("losses"))
+
+    h, w = data_cfg["train"]["input_shape"]
+    import jax.numpy as jnp
+    dummy = jnp.zeros((global_batch, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.get("seed", 0)),
+                           dummy, dummy, train=False)
+    state = TrainState.create(variables, tx,
+                              jax.random.PRNGKey(cfg.get("seed", 0) + 1))
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    logger.info(f"model params: {n_params/1e6:.3f}M, "
+                f"mesh: {dict(mesh.shape)}, global batch: {global_batch}, "
+                f"steps/epoch: {steps_per_epoch}")
+
+    ckpt = CheckpointManager(work_dir)
+    start_epoch = 0
+    if resume:
+        restored, meta = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_epoch = (meta or {}).get("epoch", 0)
+            logger.info(f"resumed from step {int(state.step)} "
+                        f"(epoch {start_epoch})")
+
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_train_step(model, tx, evaluator)
+
+    total_epochs = cfg.get("total_epochs", 10)
+    done = False
+    for epoch in range(start_epoch, total_epochs):
+        t_data = t_step = 0.0
+        t0 = time.perf_counter()
+        for batch in loader.epoch(epoch):
+            batch = {k: v for k, v in batch.items()
+                     if k in ("leftImage", "rightImage", "leftDisp")}
+            batch = shard_batch(mesh, batch)
+            t1 = time.perf_counter()
+            state, metrics = step_fn(state, batch)
+            step_num = int(state.step)
+            if step_num % log_interval == 0 or step_num == 1:
+                metrics = jax.device_get(metrics)
+                t2 = time.perf_counter()
+                t_data, t_step = t1 - t0, t2 - t1
+                lr = float(schedule(step_num))
+                logger.info(
+                    f"epoch {epoch+1}/{total_epochs} step {step_num} "
+                    f"lr {lr:.2e} loss {float(metrics['loss']):.4f} "
+                    f"data {t_data*1e3:.0f}ms step {t_step*1e3:.0f}ms")
+                metrics_log.log(step_num, metrics, prefix="train/")
+            t0 = time.perf_counter()
+            if max_steps is not None and step_num >= max_steps:
+                done = True
+                break
+
+        if cfg.get("checkpoint", {}).get("interval"):
+            ckpt.save(int(state.step), jax.device_get(state),
+                      metadata={"epoch": epoch + 1})
+
+        if eval_dataset is not None:
+            results, n = evaluate(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                eval_dataset, cfg["model"].get("eval", {}),
+                cfg.get("eval_disparity_id", (0,)))
+            logger.info(f"epoch {epoch+1} eval ({n} samples): " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(results.items())))
+            metrics_log.log(int(state.step), results, prefix="eval/")
+        if done:
+            break
+
+    metrics_log.close()
+    return state

@@ -1,0 +1,42 @@
+"""Checkpoint / resume via orbax.
+
+Parity target: the reference's epoch .pth checkpoints + runner.resume
+(dmb/apis/train.py:176-179, tools/train.py:108-112): we save the full
+TrainState (params, batch stats, optimizer state, step, PRNG) plus metadata
+(epoch, config) at a step granularity, and restore deterministically.
+"""
+
+import os
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, work_dir, max_to_keep=5):
+        path = os.path.abspath(os.path.join(work_dir, "checkpoints"))
+        os.makedirs(path, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True))
+
+    def save(self, step, state, metadata=None):
+        args = ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            **({"metadata": ocp.args.JsonSave(metadata)}
+               if metadata is not None else {}))
+        self.manager.save(step, args=args)
+        self.manager.wait_until_finished()
+
+    def latest_step(self):
+        return self.manager.latest_step()
+
+    def restore(self, state_template, step=None):
+        """Returns (state, metadata) restored at ``step`` (default latest)."""
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None, None
+        restored = self.manager.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template),
+                metadata=ocp.args.JsonRestore()))
+        return restored["state"], restored.get("metadata")

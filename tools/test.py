@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Evaluate a trained model over a test set; optionally save results.
+
+Parity target: reference tools/test.py:211-333 — per-sample evaluation
+(EPE / n-px / occlusion split), pandas-style metric table, optional KITTI
+submission output via SaveResultTool.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a dense matching model")
+    p.add_argument("--config", required=True)
+    p.add_argument("--work-dir", required=True,
+                   help="dir containing checkpoints/ (from train.py)")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--annfile", default=None)
+    p.add_argument("--out-dir", default=None,
+                   help="save disp_0/ (KITTI submission) + color maps here")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--override", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax
+
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+    from densematchingbenchmark_tpu.data import (build_dataset, transforms,
+                                                 SyntheticStereoDataset)
+    from densematchingbenchmark_tpu.evaluation.eval_loop import evaluate
+    from densematchingbenchmark_tpu.trainer import (TrainState,
+                                                    build_optimizer)
+    from densematchingbenchmark_tpu.utils.checkpoint import CheckpointManager
+
+    overrides = {}
+    for item in args.override:
+        key, val = item.split("=", 1)
+        try:
+            import ast
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[key] = val
+    cfg = get_config(args.config, **overrides)
+    mean, std = cfg["data"]["mean"], cfg["data"]["std"]
+
+    if args.synthetic:
+        maxd = cfg["model"]["max_disp"]
+        ds = SyntheticStereoDataset(length=4, height=256, width=512,
+                                    max_disp=min(maxd, 64))
+        ds.transform = transforms.make_eval_transform((256, 512), mean, std)
+    else:
+        cfg["data"]["data_root"] = args.data_root
+        cfg["data"]["test"]["annfile"] = args.annfile
+        ds = build_dataset(cfg["data"], "test",
+                           transform=transforms.make_eval_transform(
+                               cfg["data"]["test"]["input_shape"],
+                               mean, std))
+
+    model = build_model(cfg)
+    sample = ds[0]
+    import jax.numpy as jnp
+    h, w = sample["leftImage"].shape[:2]
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+    template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+    state, _ = CheckpointManager(args.work_dir).restore(template)
+    if state is None:
+        print("WARNING: no checkpoint found, evaluating random init")
+        state = template
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results, n = evaluate(model, variables, ds, cfg["model"].get("eval", {}),
+                          cfg.get("eval_disparity_id", (0,)))
+    print(f"evaluated {n} samples:")
+    for k in sorted(results):
+        print(f"  {k:24s} {results[k]:.4f}")
+
+    if args.out_dir:
+        from densematchingbenchmark_tpu.visualization import SaveResultTool
+        from densematchingbenchmark_tpu.trainer import make_eval_step
+        save = SaveResultTool(args.out_dir)
+        step = make_eval_step(model)
+        from densematchingbenchmark_tpu.data.loader import collate
+        for i in range(len(ds)):
+            batch = collate([ds[i]])
+            out = step(state, {k: batch[k]
+                               for k in ("leftImage", "rightImage")})
+            save(f"{i:06d}", np.asarray(out["disps"][0]),
+                 batch.get("leftDisp"),
+                 batch["leftImage"] * np.asarray(std) + np.asarray(mean))
+        print(f"results saved to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Train a stereo model from a named config.
+
+Parity target: tools/train.py in the reference (argparse -> config ->
+build model/datasets -> train_matcher), TPU-native: no launcher, one
+process drives the device mesh.
+
+Examples:
+  python tools/train.py --config PSMNet/scene_flow \\
+      --data-root /data/SceneFlow --annfile /data/ann/cleanpass_train.json \\
+      --eval-annfile /data/ann/cleanpass_test.json --work-dir work/psmnet
+  python tools/train.py --config PSMNet/scene_flow --synthetic \\
+      --work-dir /tmp/smoke --max-steps 20       # smoke run, no dataset
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a dense matching model")
+    p.add_argument("--config", required=True,
+                   help="config name, e.g. PSMNet/scene_flow")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--annfile", default=None, help="train annotation JSON")
+    p.add_argument("--eval-annfile", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset (smoke/debug)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--override", nargs="*", default=[],
+                   help="dotted config overrides, e.g. model.max_disp=96")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.trainer.loop import train_matcher
+
+    overrides = {}
+    for item in args.override:
+        key, val = item.split("=", 1)
+        try:
+            import ast
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[key] = val
+    if args.dtype:
+        overrides["model.dtype"] = args.dtype
+    cfg = get_config(args.config, **overrides)
+    cfg["seed"] = args.seed
+
+    if args.synthetic:
+        maxd = cfg["model"]["max_disp"]
+        cfg["data"] = dict(
+            type="Synthetic", sparse=False, batch_size_per_device=1,
+            mean=cfg["data"]["mean"], std=cfg["data"]["std"],
+            train=dict(length=16, height=256, width=512,
+                       max_disp=min(maxd, 64), input_shape=(256, 512)),
+        )
+        from densematchingbenchmark_tpu.data import (SyntheticStereoDataset,
+                                                     transforms)
+        ds = SyntheticStereoDataset(length=16, height=256, width=512,
+                                    max_disp=min(maxd, 64))
+        ds.transform = transforms.make_train_transform(
+            (256, 512), cfg["data"]["mean"], cfg["data"]["std"])
+        train_matcher(cfg, args.work_dir, train_dataset=ds,
+                      resume=args.resume, max_steps=args.max_steps)
+        return
+
+    assert args.data_root and args.annfile, \
+        "--data-root and --annfile required (or use --synthetic)"
+    cfg["data"]["data_root"] = args.data_root
+    cfg["data"]["train"]["annfile"] = args.annfile
+    if args.eval_annfile:
+        cfg["data"]["eval"]["annfile"] = args.eval_annfile
+    train_matcher(cfg, args.work_dir, resume=args.resume,
+                  max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
