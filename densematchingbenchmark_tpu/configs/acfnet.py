@@ -1,0 +1,59 @@
+"""AcfNet configs (uniform / adaptive).
+
+Parity: configs/AcfNet/scene_flow_uniform.py (fixed focal-loss variance 1.2)
+and scene_flow_adaptive.py (+ cmn block: per-pixel variance from confidence,
+NLL loss weight 8.0), plus the kitti_2015 variants.
+"""
+
+import copy
+
+from .psmnet import _apply_overrides, _BASE
+
+
+def _base(adaptive):
+    cfg = copy.deepcopy(_BASE)
+    cfg["model"].update(
+        backbone=dict(type="PSMNet", in_planes=3),
+        cost_processor=dict(
+            type="Concatenation",
+            cost_computation=dict(max_disp=48, start_disp=0, dilation=1),
+            cost_aggregator=dict(type="AcfNet", max_disp=192, in_planes=64),
+        ),
+        losses=dict(
+            l1_loss=dict(max_disp=192, weights=(1.0, 0.7, 0.5), weight=0.1),
+            focal_loss=dict(max_disp=192, start_disp=0, dilation=1,
+                            weights=(1.0, 0.7, 0.5), coefficient=5.0,
+                            weight=1.0,
+                            variance=None if adaptive else 1.2),
+        ),
+    )
+    if adaptive:
+        cfg["model"]["cmn"] = dict(
+            num=3, alpha=1.0, beta=1.0, in_planes=192,
+            losses=dict(nll_loss=dict(max_disp=192, start_disp=0,
+                                      weight=8.0,
+                                      weights=(1.0, 0.7, 0.5))))
+    return cfg
+
+
+def scene_flow_uniform(**overrides):
+    return _apply_overrides(_base(False), overrides)
+
+
+def scene_flow_adaptive(**overrides):
+    return _apply_overrides(_base(True), overrides)
+
+
+def _kitti(cfg):
+    cfg["data"].update(type="KITTI-2015", sparse=True)
+    cfg["data"]["eval"]["input_shape"] = (384, 1248)
+    cfg["data"]["test"]["input_shape"] = (384, 1248)
+    return cfg
+
+
+def kitti_2015_uniform(**overrides):
+    return _apply_overrides(_kitti(_base(False)), overrides)
+
+
+def kitti_2015_adaptive(**overrides):
+    return _apply_overrides(_kitti(_base(True)), overrides)

@@ -8,7 +8,8 @@ training loss is the sum of every entry (reference parse_losses,
 dmb/apis/train.py:37-54).
 """
 
-from .disp_losses import smooth_l1_loss, gerf_loss, conf_nll_loss
+from .disp_losses import (smooth_l1_loss, gerf_loss, conf_nll_loss,
+                          quantile_loss)
 from .focal import stereo_focal_loss
 
 
@@ -35,11 +36,20 @@ class CombinedLossEvaluator:
                              weights=cfg.get("weights"), sparse=self.sparse)
         return {k: weight * v for k, v in part.items()}
 
-    def __call__(self, disps, costs, gt_disp, variance=None, disp_sample=None):
+    def __call__(self, disps, costs, gt_disp, variance=None,
+                 disp_sample=None, min_disparity=None, max_disparity=None):
         loss_dict = {}
         for name, cfg in self.cfg.items():
             cfg = dict(cfg)
             weight = cfg.pop("weight", 1.0)
+            if name == "quantile_loss":
+                # DeepPruner: pinball loss on the predicted [min, max] range
+                loss_dict["quantile_loss"] = quantile_loss(
+                    min_disparity, max_disparity, gt_disp,
+                    max_disp=cfg["max_disp"],
+                    start_disp=cfg.get("start_disp", 0),
+                    weight=weight, theta=cfg.get("theta", 0.05))
+                continue
             if name == "l1_loss":
                 part = smooth_l1_loss(
                     disps, gt_disp, max_disp=cfg["max_disp"],

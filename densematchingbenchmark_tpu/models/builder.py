@@ -16,7 +16,14 @@ from .cmn import Cmn
 from .backbones.psmnet import PSMNetBackbone
 from .backbones.gcnet import GCNetBackbone
 from .backbones.stereonet import StereoNetBackbone
+from .backbones.anynet import AnyNetBackbone
+from .backbones.deeppruner import (DeepPrunerBestBackbone,
+                                   DeepPrunerFastBackbone)
+from .anynet import AnyNet
+from .deeppruner import DeepPruner
+from .refinement.anynet import AnyNetRefinement
 from .aggregators.psmnet import PSMAggregator
+from .aggregators.acfnet import AcfAggregator
 from .aggregators.gcnet import GCAggregator
 from .aggregators.stereonet import StereoNetAggregator
 from .refinement.stereonet import StereoNetRefinement
@@ -27,16 +34,21 @@ BACKBONES = {
     "PSMNet": PSMNetBackbone,
     "GCNet": GCNetBackbone,
     "StereoNet": StereoNetBackbone,
+    "AnyNet": AnyNetBackbone,
+    "BestDeepPruner": DeepPrunerBestBackbone,
+    "FastDeepPruner": DeepPrunerFastBackbone,
 }
 
 AGGREGATORS = {
     "PSMNet": PSMAggregator,
+    "AcfNet": AcfAggregator,
     "GCNet": GCAggregator,
     "StereoNet": StereoNetAggregator,
 }
 
 REFINEMENTS = {
     "StereoNet": StereoNetRefinement,
+    "AnyNet": AnyNetRefinement,
 }
 
 VOLUME_TYPES = {
@@ -114,4 +126,43 @@ def build_model(cfg, mesh=None):
             disp_predictor=build_disp_predictor(model_cfg["disp_predictor"]),
             cmn=cmn,
             disp_refinement=refinement)
+    if arch == "AnyNet":
+        comp = model_cfg["cost_processor"]["cost_computation"]
+        agg = model_cfg["cost_processor"]["cost_aggregator"]
+        refinement = None
+        if "disp_refinement" in model_cfg:
+            r = model_cfg["disp_refinement"]
+            refinement = AnyNetRefinement(
+                spn_planes=r.get("spn_planes", 8),
+                batch_norm=model_cfg.get("batch_norm", True), dtype=dtype)
+        return AnyNet(
+            backbone=build_backbone(model_cfg, dtype),
+            disp_refinement=refinement,
+            max_disp=model_cfg["max_disp"],
+            stage_max_disp=dict(comp["max_disp"]),
+            stage_start_disp=dict(comp["start_disp"]),
+            stage_dilation=dict(comp["dilation"]),
+            stage_agg_planes=dict(agg["agg_planes"]),
+            agg_num=agg.get("num", 4),
+            batch_norm=model_cfg.get("batch_norm", True),
+            dtype=dtype)
+    if arch == "DeepPruner":
+        sampler = model_cfg["disp_sampler"]
+        proc = model_cfg["cost_processor"]
+        return DeepPruner(
+            backbone=build_backbone(model_cfg, dtype),
+            max_disp=model_cfg["max_disp"],
+            scale=model_cfg.get("scale", 4),
+            patch_match_sample_number=sampler.get(
+                "patch_match_disparity_sample_number", 14),
+            uniform_sample_number=sampler.get(
+                "uniform_disparity_sample_number", 9),
+            propagation_filter_size=sampler.get("propagation_filter_size", 3),
+            iterations=sampler.get("iterations", 3),
+            temperature=sampler.get("temperature", 7),
+            hourglass_in_planes=proc.get("confidence_range_predictor", {})
+            .get("hourglass_in_planes", 16),
+            refinement_num=model_cfg.get("disp_refinement", {}).get("num", 1),
+            batch_norm=model_cfg.get("batch_norm", True),
+            dtype=dtype)
     raise ValueError(f"unknown meta architecture {arch}")

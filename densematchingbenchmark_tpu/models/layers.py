@@ -46,29 +46,31 @@ class ConvTransposeExact(nn.Module):
     not spatially flipped (irrelevant for randomly-initialized weights).
     """
     features: int
-    kernel_size: int = 3
-    stride: int = 2
-    padding: int = 1
-    output_padding: int = 1
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 2
+    padding: Union[int, Sequence[int]] = 1
+    output_padding: Union[int, Sequence[int]] = 1
     dims: int = 3
     use_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        k, s, p, op = (self.kernel_size, self.stride, self.padding,
-                       self.output_padding)
-        spatial = _tuple(k, self.dims)
+        ks = _tuple(self.kernel_size, self.dims)
+        ss = _tuple(self.stride, self.dims)
+        ps = _tuple(self.padding, self.dims)
+        ops = _tuple(self.output_padding, self.dims)
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
-            spatial + (x.shape[-1], self.features), jnp.float32)
-        pad = [(k - 1 - p, k - 1 - p + op)] * self.dims
+            ks + (x.shape[-1], self.features), jnp.float32)
+        pad = [(k - 1 - p, k - 1 - p + op)
+               for k, p, op in zip(ks, ps, ops)]
         lhs_spec = "N" + "DHW"[3 - self.dims:] + "C"
         rhs_spec = "DHW"[3 - self.dims:] + "IO"
         out = lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1,) * self.dims, padding=pad,
-            lhs_dilation=(s,) * self.dims, rhs_dilation=(1,) * self.dims,
+            lhs_dilation=ss, rhs_dilation=(1,) * self.dims,
             dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
             preferred_element_type=jnp.float32)
         out = out.astype(self.dtype)
@@ -221,6 +223,41 @@ class BasicBlock(nn.Module):
             x = conv_bn(self.batch_norm, self.features, 1, self.stride, 0, 1,
                         dtype=self.dtype)(x, train)
         return out + x
+
+
+class HWHourglass(nn.Module):
+    """DeepPruner 3-D hourglass striding only H and W (not disparity).
+
+    Parity: dmb/modeling/stereo/cost_processors/utils/hw_hourglass.py:8-105
+    — 3 down stages (stride (1,2,2)) with residual convs, 3 transposed-conv
+    up stages (output_padding (0,1,1)) with additive skips.
+    """
+    features: int
+    batch_norm: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn, dt, c = self.batch_norm, self.dtype, self.features
+
+        def down(features, h):
+            a = ConvUnit(features, 3, (1, 2, 2), 1, dims=3, batch_norm=bn,
+                         relu=True, bias=False, dtype=dt)(h, train)
+            b = ConvUnit(features, 3, 1, 1, dims=3, batch_norm=bn,
+                         relu=True, bias=False, dtype=dt)(a, train)
+            return a + b
+
+        def up(features, h):
+            return ConvUnit(features, 3, (1, 2, 2), 1, dims=3, batch_norm=bn,
+                            relu=False, bias=False, transpose=True,
+                            output_padding=(0, 1, 1), dtype=dt)(h, train)
+
+        out1 = down(c * 2, x)         # [*, D, H/2, W/2]
+        out2 = down(c * 4, out1)      # [*, D, H/4, W/4]
+        out3 = down(c * 8, out2)      # [*, D, H/8, W/8]
+        u3 = up(c * 4, out3) + out2
+        u2 = up(c * 2, u3) + out1
+        return up(c, u2)
 
 
 class Hourglass3D(nn.Module):

@@ -1,0 +1,138 @@
+"""Differentiable PatchMatch disparity sampling (DeepPruner).
+
+Parity target: dmb/modeling/stereo/disp_samplers/utils/patch_match.py:16-260.
+Three phases, unrolled ``iterations`` times:
+  init: stratified random particles — one uniform sample per disparity
+    interval (diversity guarantee);
+  propagate: each pixel adopts its 3 horizontal (then vertical) neighbors'
+    particles — the reference uses one-hot separable conv3d filters, which
+    is just a shift-and-stack (implemented as pads, which XLA fuses);
+  evaluate: inner-product matching score of warped right features,
+    temperature-softmax over the candidates within each interval picks a
+    (soft) best sample per interval.
+
+TPU-first differences: randomness comes from an explicit jax PRNG key (the
+reference mutates with .uniform_ in place — patch_match.py:70), and the
+warp gather is the shared ops/warp.py:inverse_warp_3d.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .warp import inverse_warp_3d
+
+
+def _shift(x, off, axis):
+    """out[..., p, ...] = x[..., p + off, ...], zero outside."""
+    if off == 0:
+        return x
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if off > 0:
+        pad[axis] = (0, off)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(off, off + n)
+    else:
+        pad[axis] = (-off, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n)
+    return jnp.pad(x, pad)[tuple(sl)]
+
+
+def _propagate(x, axis, filter_size=3):
+    """[B, N, H, W] -> [B, N*filter_size, H, W]: per-sample neighbor stack.
+
+    Matches the reference's one-hot conv ordering (offsets -k//2..k//2 along
+    W for 'horizontal' / H for 'vertical'), grouped per interval
+    (patch_match.py:86-174).
+    """
+    b, n, h, w = x.shape
+    offs = range(-(filter_size // 2), filter_size // 2 + 1)
+    stacked = jnp.stack([_shift(x, o, axis) for o in offs], axis=2)
+    return stacked.reshape(b, n * filter_size, h, w)
+
+
+def _evaluate(left, right, samples, noise, filter_size, temperature):
+    """Pick the (soft) best of each interval's ``filter_size`` candidates."""
+    b, dk, h, w = samples.shape
+    n = dk // filter_size
+    warped, _ = inverse_warp_3d(right, samples)       # [B, Dk, H, W, C]
+    score = jnp.mean(left[:, None] * warped, axis=-1) * temperature
+    score = score.reshape(b, n, filter_size, h, w)
+    prob = jax.nn.softmax(score, axis=2)
+    samples = jnp.sum(prob * samples.reshape(b, n, filter_size, h, w), axis=2)
+    noise = jnp.sum(prob * noise.reshape(b, n, filter_size, h, w), axis=2)
+    return samples, noise
+
+
+def patch_match(left, right, min_disparity, max_disparity, key,
+                disparity_sample_number=14, propagation_filter_size=3,
+                iterations=3, temperature=7.0):
+    """Generate per-pixel disparity samples via differentiable PatchMatch.
+
+    Args:
+      left, right: [B, H, W, C] features.
+      min_disparity, max_disparity: [B, H, W, 1] search-range bounds.
+      key: jax PRNG key for particle initialization.
+      disparity_sample_number: samples returned INCLUDING min and max.
+
+    Returns:
+      [B, disparity_sample_number, H, W] per-pixel samples
+      (min, n generated, max).
+    """
+    b, h, w, _ = left.shape
+    n = disparity_sample_number - 2
+    lo = min_disparity[..., 0][:, None]               # [B, 1, H, W]
+    hi = max_disparity[..., 0][:, None]
+
+    interval = 1.0 / (n + 1)
+    index = (jnp.arange(1, n + 1, dtype=left.dtype) /
+             (n + 1))[None, :, None, None]
+    interval_min = lo + (hi - lo) * index             # [B, n, H, W]
+    interval_min_rep = jnp.repeat(interval_min, propagation_filter_size,
+                                  axis=1)
+
+    noise = jax.random.uniform(key, (b, n, h, w), left.dtype)
+
+    samples = None
+    for _ in range(iterations):
+        for axis in (3, 2):  # horizontal (W) then vertical (H)
+            noise_prop = _propagate(noise, axis, propagation_filter_size)
+            samples = (hi - lo) * interval * noise_prop + interval_min_rep
+            samples, noise = _evaluate(left, right, samples, noise_prop,
+                                       propagation_filter_size, temperature)
+    return jnp.concatenate([lo, samples, hi], axis=1)
+
+
+def uniform_sample(min_disparity, max_disparity, disparity_sample_number=9):
+    """Evenly spaced samples between per-pixel bounds (inclusive).
+
+    Parity: disp_samplers/DeepPruner.py:71-115 (UniformSampler).
+    Returns [B, disparity_sample_number, H, W].
+    """
+    lo = min_disparity[..., 0][:, None]
+    hi = max_disparity[..., 0][:, None]
+    n = disparity_sample_number - 2
+    index = (jnp.arange(1, n + 1, dtype=min_disparity.dtype) /
+             (n + 1))[None, :, None, None]
+    mid = lo + (hi - lo) * index
+    return jnp.concatenate([lo, mid, hi], axis=1)
+
+
+def adjust_sample_range(min_disparity, max_disparity,
+                        disparity_sample_number, max_disp):
+    """Stretch a predicted [min, max] range so the interval >= 1 sample.
+
+    Parity: DisparitySampleRangeHead 'post' branch
+    (disp_samplers/DeepPruner.py:40-68), with one deliberate fix: the
+    reference computes ``(bound -/+ overflow) / 2`` which halves the bounds
+    even when there is no overflow (a mis-parenthesization of upstream
+    DeepPruner's ``bound -/+ overflow / 2``); we follow the upstream
+    semantics — each bound moves by half the shortfall.
+    """
+    g_lo = jnp.minimum(min_disparity, max_disparity)
+    g_hi = jnp.maximum(min_disparity, max_disparity)
+    overflow = jnp.clip(g_lo + disparity_sample_number - g_hi, min=0)
+    new_lo = jnp.clip(g_lo - overflow / 2.0, 0.0, max_disp)
+    new_hi = jnp.clip(g_hi + overflow / 2.0, 0.0, max_disp)
+    return new_lo, new_hi

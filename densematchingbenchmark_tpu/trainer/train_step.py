@@ -28,14 +28,19 @@ def make_train_step(model, tx, loss_evaluator, donate=True):
     """
 
     def step(state, batch):
+        new_rng, step_rng = jax.random.split(state.rng)
+
         def loss_fn(params):
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["leftImage"], batch["rightImage"], train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"],
+                rngs={"patch_match": step_rng})
             loss_dict = loss_evaluator(
                 out["disps"], out["costs"], batch["leftDisp"],
-                variance=out.get("variances"))
+                variance=out.get("variances"),
+                min_disparity=out.get("min_disparity"),
+                max_disparity=out.get("max_disparity"))
             if "conf_costs" in out:
                 loss_dict.update(loss_evaluator.cmn_loss(
                     out["conf_costs"], batch["leftDisp"]))
@@ -44,7 +49,8 @@ def make_train_step(model, tx, loss_evaluator, donate=True):
 
         (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        new_state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        new_state = state.apply_gradients(grads, tx, new_batch_stats=new_bs,
+                                          new_rng=new_rng)
         metrics = {"loss": loss, **loss_dict,
                    "grad_norm": jnp.sqrt(sum(
                        jnp.sum(jnp.square(g))
