@@ -1,0 +1,122 @@
+"""Library inference API: init_model / inference_stereo.
+
+Parity target: dmb/apis/inference.py:61-225 — build a model from a config
+(+ optional checkpoint), then run stereo inference over image-pair batches
+with pad-to-shape (or crop), optional up/down scaling (disparity values
+rescale with width), and padding removal. The jitted forward is cached per
+input shape.
+"""
+
+import os.path as osp
+
+import numpy as np
+
+from .configs import get_config
+from .models import build_model
+from .data import transforms
+from .evaluation.metrics import remove_padding
+
+
+class StereoModel:
+    """A built model + variables + shape-cached jitted forwards."""
+
+    def __init__(self, cfg, variables):
+        self.cfg = cfg
+        self.variables = variables
+        self._jitted = {}
+
+    def forward(self, left, right):
+        import jax
+        key = (left.shape, right.shape)
+        if key not in self._jitted:
+            model = build_model(self.cfg)
+            self._jitted[key] = jax.jit(
+                lambda v, l, r: model.apply(v, l, r, train=False))
+        return self._jitted[key](self.variables, left, right)
+
+
+def init_model(config_name_or_cfg, checkpoint_dir=None, **overrides):
+    """Build a StereoModel; restore weights from checkpoint_dir if given."""
+    import jax
+    import jax.numpy as jnp
+    cfg = (get_config(config_name_or_cfg, **overrides)
+           if isinstance(config_name_or_cfg, str) else config_name_or_cfg)
+    model = build_model(cfg)
+    h, w = cfg["data"]["test"]["input_shape"] \
+        if "test" in cfg["data"] else (256, 512)
+    dummy = jnp.zeros((1, int(h), int(w), 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+    if checkpoint_dir:
+        from .trainer import TrainState, build_optimizer
+        from .utils.checkpoint import CheckpointManager
+        tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+        template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+        state, _ = CheckpointManager(checkpoint_dir).restore(template)
+        if state is not None:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+    return StereoModel(cfg, variables)
+
+
+def inference_stereo(model, batches, pad_to_shape=None, crop_shape=None,
+                     scale_factor=None, disp_div_factor=1.0):
+    """Run inference over a list of {'leftImage', 'rightImage'[, names]}.
+
+    Args:
+      model: StereoModel from init_model.
+      batches: list of dicts with [H, W, 3] float images (0-255).
+      pad_to_shape / crop_shape: preprocessing geometry (reference
+        _prepare_data semantics: pad top+right, or center crop).
+      scale_factor: optional resize before inference; the predicted
+        disparity is resized back and its values divided accordingly.
+      disp_div_factor: divide output disparity values (reference knob for
+        datasets storing scaled disparity).
+
+    Returns:
+      list of result dicts with 'disps' (numpy, original size, best first).
+    """
+    import jax.numpy as jnp
+    from .ops.interpolate import resize_linear
+
+    mean = model.cfg["data"]["mean"]
+    std = model.cfg["data"]["std"]
+    results = []
+    for item in batches:
+        left, right = item["leftImage"], item["rightImage"]
+        orig_h, orig_w = left.shape[:2]
+        sample = {"leftImage": left.astype(np.float32),
+                  "rightImage": right.astype(np.float32)}
+        if scale_factor is not None and scale_factor != 1.0:
+            nh = int(round(orig_h * scale_factor))
+            nw = int(round(orig_w * scale_factor))
+            for k in ("leftImage", "rightImage"):
+                sample[k] = np.asarray(resize_linear(
+                    jnp.asarray(sample[k])[None], (nh, nw), (1, 2),
+                    align_corners=False))[0]
+        if crop_shape is not None:
+            sample = transforms.center_crop(sample, crop_shape)
+        if pad_to_shape is not None:
+            sample = transforms.pad_to(sample, pad_to_shape)
+        sample = transforms.normalize(sample, mean, std)
+
+        li = jnp.asarray(sample["leftImage"])[None]
+        ri = jnp.asarray(sample["rightImage"])[None]
+        out = model.forward(li, ri)
+
+        proc_h, proc_w = li.shape[1:3]
+        disps = []
+        for d in out["disps"]:
+            d = np.asarray(d)
+            if pad_to_shape is not None:
+                inner_h = int(round(orig_h * (scale_factor or 1.0)))
+                inner_w = int(round(orig_w * (scale_factor or 1.0)))
+                d = np.asarray(remove_padding(d, inner_h, inner_w))
+            if scale_factor is not None and scale_factor != 1.0:
+                d = np.asarray(resize_linear(
+                    jnp.asarray(d), (orig_h, orig_w), (1, 2),
+                    align_corners=False)) / scale_factor
+            disps.append(d / disp_div_factor)
+        result = dict(item)
+        result["disps"] = disps
+        results.append(result)
+    return results

@@ -13,9 +13,19 @@ import re
 
 import numpy as np
 
+# Prefer the native C++ decoders (densematchingbenchmark_tpu/native) when
+# the shared library is available; fall back to pure Python otherwise.
+try:
+    from .. import native as _native
+    _NATIVE = _native.available()
+except Exception:
+    _native, _NATIVE = None, False
+
 
 def load_pfm(path):
     """Read a PFM file -> (float32 array [H, W] or [H, W, 3], scale)."""
+    if _NATIVE:
+        return _native.decode_pfm(path), 1.0
     with open(path, "rb") as fp:
         header = fp.readline().decode("latin-1").rstrip()
         if header == "PF":
@@ -51,6 +61,8 @@ def save_pfm(path, data, scale=1.0):
 
 def load_image(path):
     """RGB image -> float32 [H, W, 3] (drops alpha)."""
+    if _NATIVE and path.endswith(".png"):
+        return _native.decode_png_rgb(path)
     from imageio.v2 import imread
     img = np.asarray(imread(path), np.float32)
     if img.ndim == 2:
@@ -60,6 +72,8 @@ def load_image(path):
 
 def load_kitti_disp(path):
     """KITTI disparity PNG (uint16, value/256; 0 = invalid) -> [H, W] f32."""
+    if _NATIVE:
+        return _native.decode_png_disp16(path)
     from imageio.v2 import imread
     return np.asarray(imread(path), np.float32) / 256.0
 

@@ -76,8 +76,11 @@ def test_transforms_pipeline():
     # pad is top+right: bottom-left corner preserved
     orig = (ds[0]["leftImage"] - 128.) / 64.
     np.testing.assert_allclose(out["leftImage"][-32:, :64], orig, atol=1e-5)
-    # disparity untouched by padding
-    assert out["leftDisp"].shape == (32, 64, 1)
+    # disparity zero-padded the same way (pad_disp default, static shapes)
+    assert out["leftDisp"].shape == (48, 80, 1)
+    assert out["leftDisp"][:16].max() == 0.0  # padded rows invalid
+    np.testing.assert_allclose(out["leftDisp"][-32:, :64],
+                               ds[0]["leftDisp"])
 
 
 def test_epoch_sampler_shards_and_determinism():

@@ -79,9 +79,11 @@ def test_deeppruner_model(name, scale):
     cfg = get_config(name, **{
         "model.max_disp": MAXD,
         "model.disp_sampler.max_disp": MAXD // scale,
+        "model.disp_sampler.iterations": 1,
         "model.losses.l1_loss.max_disp": MAXD,
         "model.losses.quantile_loss.max_disp": MAXD})
     model = build_model(cfg)
+    # H/scale must be divisible by 8 for the HW-hourglass
     B, H, W = 1, 64, 64
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
