@@ -25,7 +25,13 @@ _BASE = dict(
         losses=dict(
             l1_loss=dict(max_disp=192, weights=(1.0, 0.7, 0.5), weight=1.0),
         ),
-        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True),
+        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True,
+                  # Optional: fuse trilinear upsample + soft-argmin in one
+                  # Pallas kernel at eval (never materializes the full-res
+                  # volume). Off by default: XLA already fuses this chain to
+                  # identical speed (~0.04 ms measured on v5e) and the
+                  # in-graph custom call inflates XLA compile time.
+                  fused_upsample_argmin=False),
     ),
     data=dict(
         type="SceneFlow",

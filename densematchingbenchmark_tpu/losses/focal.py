@@ -52,7 +52,7 @@ def stereo_focal_loss(est_costs, gt_disp, max_disp, variance, start_disp=0,
         gt_prob = laplace_prob(sgt * maskf, int(max_disp / scale),
                                variance=var, start_disp=start_disp,
                                dilation=dil, disp_sample=ds)
-        log_prob = jax.nn.log_softmax(cost, axis=1)
+        log_prob = jax.nn.log_softmax(cost.astype(jnp.float32), axis=1)
         focal_w = jnp.power(1.0 - gt_prob, -focal_coefficient)
         per_px = -(gt_prob * log_prob) * focal_w * maskf[:, None, :, :, 0]
         denom = jnp.maximum(jnp.sum(maskf), 1.0)

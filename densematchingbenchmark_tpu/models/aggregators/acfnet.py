@@ -54,6 +54,6 @@ class AcfAggregator(nn.Module):
             x = ConvTransposeExact(1, kernel_size=8, stride=4, padding=2,
                                    output_padding=0, dims=3, use_bias=False,
                                    dtype=dt)(x)
-            return x[..., 0].astype(jnp.float32)
+            return x[..., 0]  # compute dtype; consumers upcast
 
         return [up(cost3), up(cost2), up(cost1)]

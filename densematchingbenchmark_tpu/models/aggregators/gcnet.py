@@ -55,4 +55,6 @@ class GCAggregator(nn.Module):
         c36 = deconv(f)(c35 + c23, train)
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
                                  dtype=dt)(c36 + c20)
-        return [c37[..., 0].astype(jnp.float32)]
+        # stays in compute dtype: the full-res volume is HBM-bound and the
+        # soft-argmin upcasts to f32 internally
+        return [c37[..., 0]]

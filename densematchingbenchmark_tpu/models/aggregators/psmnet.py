@@ -21,6 +21,11 @@ class PSMAggregator(nn.Module):
     max_disp: int = 192
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    # When True, skip the trilinear upsample and return the three low-res
+    # classified costs [B, D/4, H/4, W/4] — the meta-architecture then
+    # fuses upsample+soft-argmin in a Pallas kernel (eval) or upsamples
+    # with XLA (train).
+    return_low_res: bool = False
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
@@ -55,12 +60,17 @@ class PSMAggregator(nn.Module):
         cost2 = classify(out2) + cost1
         cost3 = classify(out3) + cost2
 
+        if self.return_low_res:
+            return [cost3[..., 0], cost2[..., 0], cost1[..., 0]]
+
         full_h, full_w = h * 4, w * 4
 
         def to_full(cost):
             # [B, D, H, W, 1] -> trilinear upsample -> [B, max_disp, 4H, 4W]
-            cost = upsample_3d(cost[..., 0], self.max_disp, full_h, full_w,
+            # stays in compute dtype (bf16 on TPU): halves the HBM traffic
+            # of the full-res volume; consumers (soft-argmin softmax, focal
+            # log-softmax) upcast to f32 internally.
+            return upsample_3d(cost[..., 0], self.max_disp, full_h, full_w,
                                align_corners=True)
-            return cost.astype(jnp.float32)
 
         return [to_full(cost3), to_full(cost2), to_full(cost1)]

@@ -105,6 +105,23 @@ def build_model(cfg, mesh=None):
     dtype = _DTYPES[model_cfg.get("dtype", "float32")]
     arch = model_cfg.get("meta_architecture", "GeneralizedStereoModel")
     if arch == "GeneralizedStereoModel":
+        # Pallas-fused upsample+soft-argmin: only valid when the model
+        # doesn't need the full-res cost volume elsewhere (no cmn) and the
+        # aggregator supports low-res output (PSMNet trunk).
+        fused = (model_cfg.get("eval", {}).get("fused_upsample_argmin",
+                                               False)
+                 and "cmn" not in model_cfg
+                 and model_cfg["cost_processor"]["cost_aggregator"]["type"]
+                 == "PSMNet"
+                 and model_cfg["disp_predictor"]["type"] in ("FASTER",
+                                                             "DEFAULT"))
+        if fused:
+            model_cfg = dict(model_cfg)
+            cp = dict(model_cfg["cost_processor"])
+            agg = dict(cp["cost_aggregator"])
+            agg["return_low_res"] = True
+            cp["cost_aggregator"] = agg
+            model_cfg["cost_processor"] = cp
         cmn = None
         if "cmn" in model_cfg:
             c = model_cfg["cmn"]
@@ -125,7 +142,9 @@ def build_model(cfg, mesh=None):
             cost_processor=build_cost_processor(model_cfg, dtype, mesh),
             disp_predictor=build_disp_predictor(model_cfg["disp_predictor"]),
             cmn=cmn,
-            disp_refinement=refinement)
+            disp_refinement=refinement,
+            fused_upsample_argmin=fused,
+            max_disp=model_cfg["max_disp"])
     if arch == "AnyNet":
         comp = model_cfg["cost_processor"]["cost_computation"]
         agg = model_cfg["cost_processor"]["cost_aggregator"]

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .predictors import DispPredictor
+from ..ops.interpolate import upsample_3d
 
 
 class GeneralizedStereoModel(nn.Module):
@@ -26,12 +27,31 @@ class GeneralizedStereoModel(nn.Module):
     disp_predictor: DispPredictor
     cmn: Optional[nn.Module] = None
     disp_refinement: Optional[nn.Module] = None
+    # With an aggregator built in return_low_res mode, fuse the trilinear
+    # upsample + soft-argmin into one Pallas kernel at eval time (the
+    # full-res cost volume is never materialized; eval 'costs' are then the
+    # LOW-RES volumes). Training keeps the XLA upsample path for autodiff.
+    fused_upsample_argmin: bool = False
+    max_disp: int = 192
 
     @nn.compact
     def __call__(self, left, right, train: bool = False):
         ref_fms, tgt_fms = self.backbone(left, right, train=train)
         costs = self.cost_processor(ref_fms, tgt_fms, train=train)
-        disps = [self.disp_predictor(cost) for cost in costs]
+        if self.fused_upsample_argmin:
+            h, w = left.shape[1:3]
+            p = self.disp_predictor
+            if train:
+                costs = [upsample_3d(c, self.max_disp, h, w,
+                                     align_corners=True) for c in costs]
+                disps = [p(cost) for cost in costs]
+            else:
+                from ..ops.pallas import fused_upsample_soft_argmin
+                disps = [fused_upsample_soft_argmin(
+                    c, self.max_disp, h, w, start_disp=p.start_disp,
+                    dilation=p.dilation, alpha=p.alpha) for c in costs]
+        else:
+            disps = [self.disp_predictor(cost) for cost in costs]
 
         if self.disp_refinement is not None:
             disps = self.disp_refinement(disps, ref_fms, tgt_fms, left, right,

@@ -34,7 +34,7 @@ def soft_argmin(cost_volume, disp_sample=None, max_disp=None, start_disp=0,
       [B, H, W, 1] disparity map.
     """
     b, d, h, w = cost_volume.shape
-    prob = cost_volume * alpha
+    prob = cost_volume.astype(jnp.float32) * alpha
     if normalize:
         prob = jax.nn.softmax(prob, axis=1)
     if disp_sample is None:
@@ -65,6 +65,7 @@ def local_soft_argmin(cost_volume, max_disp, radius, start_disp=0, dilation=1,
     num = (max_disp + dilation - 1) // dilation
     assert d == num, f"cost volume D={d} inconsistent with range D={num}"
 
+    cost_volume = cost_volume.astype(jnp.float32)
     max_index = jnp.argmax(cost_volume, axis=1)[:, None]  # [B, 1, H, W]
     offsets = jnp.arange(-radius * radius_dilation,
                          radius * radius_dilation + 1,

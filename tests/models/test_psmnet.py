@@ -21,7 +21,9 @@ def model_and_vars():
            "model.cost_processor.cost_computation.max_disp": MAXD // 4,
            "model.cost_processor.cost_aggregator.max_disp": MAXD,
            "model.disp_predictor.max_disp": MAXD,
-           "model.losses.l1_loss.max_disp": MAXD})
+           "model.losses.l1_loss.max_disp": MAXD,
+           # exercise the Pallas fused eval path (interpret mode on CPU)
+           "model.eval.fused_upsample_argmin": True})
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     left = jnp.zeros((B, H, W, 3))
@@ -48,8 +50,26 @@ def test_eval_forward_shapes(model_and_vars):
     for d in out["disps"]:
         assert d.shape == (B, H, W, 1)
     for c in out["costs"]:
-        assert c.shape == (B, MAXD, H, W)
+        # fused eval path: costs stay at aggregation resolution
+        assert c.shape == (B, MAXD // 4, H // 4, W // 4)
     assert np.isfinite(np.asarray(out["disps"][0])).all()
+
+
+def test_fused_eval_matches_unfused(model_and_vars):
+    """Pallas-fused eval == XLA upsample+soft-argmin eval (same params)."""
+    cfg, model, variables = model_and_vars
+    import copy
+    cfg2 = copy.deepcopy(cfg)
+    cfg2["model"]["eval"]["fused_upsample_argmin"] = False
+    from densematchingbenchmark_tpu.models import build_model
+    model2 = build_model(cfg2)
+    rng = np.random.RandomState(7)
+    left = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(B, H, W, 3), jnp.float32)
+    fused = model.apply(variables, left, right, train=False)
+    plain = model2.apply(variables, left, right, train=False)
+    np.testing.assert_allclose(np.asarray(fused["disps"][0]),
+                               np.asarray(plain["disps"][0]), atol=1e-3)
 
 
 def test_train_step_decreases_loss(model_and_vars):

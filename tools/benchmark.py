@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Full benchmark harness: params / FLOPs / latency / FPS for the model zoo.
+
+Parity target: the reference's FLOPs+FPS tables (README "Experiment
+Results", produced by thop.profile + CUDA-timed loops in
+tests/modeling/stereo/models/test_model.py:73-106). Here FLOPs come from
+XLA's compiled cost analysis and latency from device-synchronized timing.
+
+bench.py (repo root) stays the driver's single-line PSMNet metric; this
+tool prints the whole table.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINES_FPS = {  # GTX1080Ti, BASELINE.md
+    "PSMNet/scene_flow": 1.67,
+    "AcfNet/scene_flow_adaptive": 1.38,
+    "AcfNet/scene_flow_uniform": 1.66,
+    "StereoNet/scene_flow_8x_2stage": 19.17,
+    "StereoNet/scene_flow_8x_4stage": 8.54,
+    "DeepPruner/scene_flow_4x": 3.42,
+    "DeepPruner/scene_flow_8x": 7.67,
+    "GCNet/scene_flow": None,
+    "AnyNet/scene_flow": None,
+}
+
+
+def bench_one(name, h, w, dtype, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+
+    cfg = get_config(name, **{"model.dtype": dtype})
+    model = build_model(cfg)
+    left = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(variables["params"]))
+
+    fwd = jax.jit(lambda l, r: model.apply(variables, l, r,
+                                           train=False)["disps"][0])
+    lowered = fwd.lower(left, left)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    flops = cost.get("flops") if cost else None
+
+    fwd(left, left).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(left, left)
+    out.block_until_ready()
+    ms = (time.perf_counter() - t0) / iters * 1000
+    return dict(model=name, params_m=round(n_params / 1e6, 3),
+                gflops=round(flops / 1e9, 1) if flops else None,
+                latency_ms=round(ms, 1), fps=round(1000 / ms, 2),
+                vs_baseline=(round(1000 / ms / BASELINES_FPS[name], 2)
+                             if BASELINES_FPS.get(name) else None))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--models", nargs="*", default=list(BASELINES_FPS))
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=1248)
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for name in args.models:
+        try:
+            row = bench_one(name, args.height, args.width, args.dtype,
+                            args.iters)
+        except Exception as e:  # keep benching the rest
+            row = dict(model=name, error=f"{type(e).__name__}: {e}")
+        rows.append(row)
+        print(json.dumps(row))
+
+    if not args.json:
+        print(f"\n{'model':34s} {'params':>8s} {'GFLOPs':>9s} "
+              f"{'ms':>7s} {'FPS':>7s} {'vs ref':>7s}")
+        for r in rows:
+            if "error" in r:
+                print(f"{r['model']:34s} ERROR {r['error'][:60]}")
+                continue
+            print(f"{r['model']:34s} {r['params_m']:>7.3f}M "
+                  f"{(r['gflops'] or 0):>9.1f} {r['latency_ms']:>7.1f} "
+                  f"{r['fps']:>7.2f} "
+                  f"{('%.2fx' % r['vs_baseline']) if r['vs_baseline'] else '--':>7s}")
+
+
+if __name__ == "__main__":
+    main()
