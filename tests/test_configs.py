@@ -1,0 +1,44 @@
+"""Every registered config builds a model that initializes (tiny shapes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from densematchingbenchmark_tpu.configs import CONFIGS, get_config
+from densematchingbenchmark_tpu.models import build_model
+
+MAXD = 32
+
+
+def tiny_overrides(name, cfg):
+    over = {"model.max_disp": MAXD}
+    m = cfg["model"]
+    if m["meta_architecture"] == "GeneralizedStereoModel":
+        comp = m["cost_processor"]["cost_computation"]
+        scale = 192 // comp["max_disp"]
+        over["model.cost_processor.cost_computation.max_disp"] = MAXD // scale
+        over["model.cost_processor.cost_aggregator.max_disp"] = MAXD
+        pred_scale = 192 // m["disp_predictor"]["max_disp"]
+        over["model.disp_predictor.max_disp"] = MAXD // pred_scale
+        if "cmn" in m:
+            over["model.cmn.in_planes"] = MAXD
+    elif m["meta_architecture"] == "AnyNet":
+        over["model.cost_processor.cost_computation.max_disp"] = dict(
+            init_guess=MAXD // 16, warp_level_8=5, warp_level_4=5)
+    elif m["meta_architecture"] == "DeepPruner":
+        over["model.disp_sampler.max_disp"] = MAXD // m["scale"]
+        over["model.disp_sampler.iterations"] = 1
+    return over
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_config_builds_and_inits(name):
+    cfg = get_config(name)
+    cfg = get_config(name, **tiny_overrides(name, cfg))
+    model = build_model(cfg)
+    left = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(variables["params"]))
+    assert n_params > 1e4, f"{name}: suspiciously few params ({n_params})"
