@@ -67,13 +67,15 @@ class ConvTransposeExact(nn.Module):
                for k, p, op in zip(ks, ps, ops)]
         lhs_spec = "N" + "DHW"[3 - self.dims:] + "C"
         rhs_spec = "DHW"[3 - self.dims:] + "IO"
+        # same-dtype conv (no preferred_element_type): mixing a f32
+        # accumulator output with bf16 operands breaks the transpose rule
+        # under grad (the cotangent arrives f32 against bf16 kernels); the
+        # MXU still accumulates in f32 internally for bf16 inputs
         out = lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(1,) * self.dims, padding=pad,
             lhs_dilation=ss, rhs_dilation=(1,) * self.dims,
-            dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
-            preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype)
+            dimension_numbers=(lhs_spec, rhs_spec, lhs_spec))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

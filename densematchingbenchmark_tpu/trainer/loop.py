@@ -29,6 +29,8 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
     """Train a model per config. Returns the final TrainState."""
     logger = get_logger(work_dir)
     metrics_log = MetricsLogger(work_dir)
+    from ..utils.collect_env import collect_env_info, device_memory_stats
+    logger.info("environment:\n" + collect_env_info())
 
     data_cfg = cfg["data"]
     mean, std = data_cfg["mean"], data_cfg["std"]
@@ -105,10 +107,15 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
                 t2 = time.perf_counter()
                 t_data, t_step = t1 - t0, t2 - t1
                 lr = float(schedule(step_num))
+                mem = device_memory_stats()
+                peak = max((v["peak_bytes_in_use"] for v in mem.values()),
+                           default=0)
+                mem_str = f" mem {peak/2**30:.1f}GiB" if peak else ""
                 logger.info(
                     f"epoch {epoch+1}/{total_epochs} step {step_num} "
                     f"lr {lr:.2e} loss {float(metrics['loss']):.4f} "
-                    f"data {t_data*1e3:.0f}ms step {t_step*1e3:.0f}ms")
+                    f"data {t_data*1e3:.0f}ms step {t_step*1e3:.0f}ms"
+                    f"{mem_str}")
                 metrics_log.log(step_num, metrics, prefix="train/")
             t0 = time.perf_counter()
             if max_steps is not None and step_num >= max_steps:

@@ -65,6 +65,47 @@ def bench_one(name, h, w, dtype, iters):
                              if BASELINES_FPS.get(name) else None))
 
 
+def bench_train(name, h, w, batch, dtype, iters):
+    """Training step throughput (forward+loss+grad+update, samples/s)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+    from densematchingbenchmark_tpu.losses import make_loss_evaluator
+    from densematchingbenchmark_tpu.trainer import (TrainState,
+                                                    build_optimizer,
+                                                    make_train_step)
+
+    cfg = get_config(name, **{"model.dtype": dtype})
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "leftImage": jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32),
+        "rightImage": jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32),
+        "leftDisp": jnp.asarray(rng.rand(batch, h, w, 1) * 180 + 1,
+                                jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch_data["leftImage"],
+                           batch_data["rightImage"], train=False)
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    evaluator = make_loss_evaluator(
+        cfg["model"]["losses"], sparse=False,
+        cmn_losses_cfg=cfg["model"].get("cmn", {}).get("losses"))
+    step = make_train_step(model, tx, evaluator, donate=False)
+    state, m = step(state, batch_data)
+    float(m["loss"])  # force materialization of the full step chain
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch_data)
+    float(m["loss"])
+    ms = (time.perf_counter() - t0) / iters * 1000
+    return dict(model=name, mode="train", batch=batch,
+                step_ms=round(ms, 1),
+                samples_per_s=round(batch * 1000 / ms, 2))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--models", nargs="*", default=list(BASELINES_FPS))
@@ -73,6 +114,10 @@ def main():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of inference")
+    p.add_argument("--batch", type=int, default=3,
+                   help="training batch size (reference trains 3/GPU)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
@@ -83,14 +128,18 @@ def main():
     rows = []
     for name in args.models:
         try:
-            row = bench_one(name, args.height, args.width, args.dtype,
-                            args.iters)
+            if args.train:
+                row = bench_train(name, args.height, args.width, args.batch,
+                                  args.dtype, args.iters)
+            else:
+                row = bench_one(name, args.height, args.width, args.dtype,
+                                args.iters)
         except Exception as e:  # keep benching the rest
             row = dict(model=name, error=f"{type(e).__name__}: {e}")
         rows.append(row)
         print(json.dumps(row))
 
-    if not args.json:
+    if not args.json and not args.train:
         print(f"\n{'model':34s} {'params':>8s} {'GFLOPs':>9s} "
               f"{'ms':>7s} {'FPS':>7s} {'vs ref':>7s}")
         for r in rows:
