@@ -102,6 +102,11 @@ def test_deeppruner_model(name, scale):
         assert d.shape == (B, H, W, 1)
         assert np.isfinite(np.asarray(d)).all()
 
+    if scale == 8:
+        # grad path covered by the 4x case; a second full backward compile
+        # of the twin HW-hourglass graph costs ~2 min of CPU compile time
+        return
+
     gt = jnp.asarray(rng.rand(B, H, W, 1) * (MAXD - 2) + 1, jnp.float32)
     evaluator = make_loss_evaluator(cfg["model"]["losses"], sparse=False)
 

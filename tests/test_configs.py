@@ -34,6 +34,10 @@ def tiny_overrides(name, cfg):
 
 @pytest.mark.parametrize("name", sorted(CONFIGS))
 def test_config_builds_and_inits(name):
+    if name.split("/")[0] in ("DeepPruner", "AnyNet"):
+        # init alone costs minutes of CPU compile; these families have
+        # dedicated full forward/backward tests (test_deeppruner/test_anynet)
+        pytest.skip("covered by dedicated family tests")
     cfg = get_config(name)
     cfg = get_config(name, **tiny_overrides(name, cfg))
     model = build_model(cfg)
