@@ -65,4 +65,37 @@ def build_optimizer(cfg, steps_per_epoch):
         # reference clips grads at global norm 35 (optimizer_config)
         chain.append(optax.clip_by_global_norm(clip["max_norm"]))
     chain.append(opt)
+    paramwise = opt_cfg.get("paramwise_options")
+    if paramwise:
+        chain.append(_paramwise_scale(paramwise))
     return optax.chain(*chain), schedule
+
+
+def _paramwise_scale(options):
+    """Per-parameter LR/weight-decay multipliers.
+
+    Parity: dmb/utils/solver.py paramwise_options — bias_lr_mult scales
+    biases' updates, norm_lr_mult scales normalization params (BatchNorm
+    scale/bias). Applied as a post-update scaling (update magnitude ∝ lr).
+    """
+    bias_mult = options.get("bias_lr_mult", 1.0)
+    norm_mult = options.get("norm_lr_mult", 1.0)
+
+    def classify(path):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_norm = any("BatchNorm" in str(k) for k in keys)
+        if in_norm:
+            return norm_mult
+        if keys and str(keys[-1]) == "bias":
+            return bias_mult
+        return 1.0
+
+    def update_fn(updates, state, params=None):
+        import jax
+        flat = jax.tree_util.tree_flatten_with_path(updates)
+        scaled = [leaf * classify(path) for path, leaf in flat[0]]
+        return jax.tree_util.tree_unflatten(flat[1], scaled), state
+
+    import optax as _optax
+    return _optax.GradientTransformation(lambda params: _optax.EmptyState(),
+                                         update_fn)

@@ -59,3 +59,21 @@ def test_metrics_table():
 def test_combine_shard_metrics_single_process():
     avg, n = combine_shard_metrics({"epe": 1.5}, 10)
     assert avg == {"epe": 1.5} and n == 10
+
+
+def test_paramwise_lr_multipliers():
+    import optax
+    from densematchingbenchmark_tpu.trainer.optim import build_optimizer
+    cfg = {"optimizer": {"type": "sgd", "lr": 1.0, "momentum": 0.0,
+                         "paramwise_options": {"bias_lr_mult": 0.5,
+                                               "norm_lr_mult": 0.0}},
+           "lr_schedule": {}}
+    tx, _ = build_optimizer(cfg, steps_per_epoch=10)
+    params = {"conv": {"kernel": jnp.ones(3), "bias": jnp.ones(3)},
+              "BatchNorm_0": {"scale": jnp.ones(3)}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(updates["conv"]["kernel"], -1.0)
+    np.testing.assert_allclose(updates["conv"]["bias"], -0.5)
+    np.testing.assert_allclose(updates["BatchNorm_0"]["scale"], 0.0)
