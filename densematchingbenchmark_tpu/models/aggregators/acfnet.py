@@ -56,4 +56,8 @@ class AcfAggregator(nn.Module):
                                    dtype=dt)(x)
             return x[..., 0]  # compute dtype; consumers upcast
 
-        return [up(cost3), up(cost2), up(cost1)]
+        # deconv_i belongs to cost_i — create in 1, 2, 3 order so the
+        # weight converter's order-based pairing matches the reference's
+        # deconv1..3 definition order (aggregators/AcfNet.py:56-58)
+        up1, up2, up3 = up(cost1), up(cost2), up(cost3)
+        return [up3, up2, up1]

@@ -1,0 +1,234 @@
+"""Activation-level parity vs the reference implementation.
+
+Loads the reference's PyTorch modules (CPU, CUDA extensions stubbed),
+converts their randomly-initialized weights into the Flax models via
+utils/torch_convert, and diffs forward activations on the same input —
+the strongest EPE-parity evidence available without dataset access.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REFERENCE)
+    for name, attrs in [
+        ("spatial_correlation_sampler", ["SpatialCorrelationSampler"]),
+        ("gaterecurrent2dnoind_cuda", []),
+        ("detectron2", []),
+        ("detectron2.layers", ["DeformConv", "ModulatedDeformConv"]),
+    ]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for a in attrs:
+                setattr(m, a, object)
+            sys.modules[name] = m
+    import torch
+    from dmb.modeling.stereo.backbones.PSMNet import PSMNetBackbone
+    from dmb.modeling.stereo.cost_processors.aggregators.PSMNet import (
+        PSMAggregator)
+    from dmb.modeling.stereo.cost_processors.utils.cat_fms import cat_fms
+    from dmb.modeling.stereo.disp_predictors.faster_soft_argmin import (
+        FasterSoftArgmin)
+    return types.SimpleNamespace(
+        torch=torch, PSMNetBackbone=PSMNetBackbone,
+        PSMAggregator=PSMAggregator, cat_fms=cat_fms,
+        FasterSoftArgmin=FasterSoftArgmin)
+
+
+def test_psmnet_backbone_parity(ref):
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.psmnet import (
+        PSMNetBackbone)
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+
+    torch = ref.torch
+    torch.manual_seed(0)
+    tmodel = ref.PSMNetBackbone(3, True).eval()
+
+    fmodel = PSMNetBackbone(in_planes=3, batch_norm=True)
+    x = np.random.RandomState(0).rand(1, 3, 256, 256).astype(np.float32)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), x_nhwc, x_nhwc,
+                            train=False)
+    variables = convert_module(tmodel, variables)
+
+    with torch.no_grad():
+        t_left, _ = tmodel(torch.from_numpy(x), torch.from_numpy(x))
+    f_left, _ = fmodel.apply(variables, x_nhwc, x_nhwc, train=False)
+
+    t_out = np.transpose(t_left.numpy(), (0, 2, 3, 1))
+    f_out = np.asarray(f_left)
+    assert t_out.shape == f_out.shape == (1, 64, 64, 32)
+    np.testing.assert_allclose(f_out, t_out, atol=2e-4, rtol=1e-3)
+
+
+def test_psmnet_full_pipeline_parity(ref):
+    """backbone -> cat volume -> aggregation -> soft-argmin, end to end."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.psmnet import (
+        PSMNetBackbone)
+    from densematchingbenchmark_tpu.models.aggregators.psmnet import (
+        PSMAggregator)
+    from densematchingbenchmark_tpu.ops import cat_volume, soft_argmin
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+
+    torch = ref.torch
+    torch.manual_seed(1)
+    MAXD = 64
+    t_bb = ref.PSMNetBackbone(3, True).eval()
+    t_agg = ref.PSMAggregator(MAXD, 64, True).eval()
+    t_pred = ref.FasterSoftArgmin(MAXD)
+
+    f_bb = PSMNetBackbone(in_planes=3, batch_norm=True)
+    f_agg = PSMAggregator(max_disp=MAXD, batch_norm=True)
+
+    rng = np.random.RandomState(1)
+    xl = rng.rand(1, 3, 256, 256).astype(np.float32)
+    xr = np.roll(xl, -5, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    bb_vars = f_bb.init(jax.random.PRNGKey(0), jl, jr, train=False)
+    bb_vars = convert_module(t_bb, bb_vars)
+    f_l, f_r = f_bb.apply(bb_vars, jl, jr, train=False)
+
+    raw = cat_volume(f_l, f_r, MAXD // 4)              # [B, D, H, W, 2C]
+    agg_vars = f_agg.init(jax.random.PRNGKey(0), raw, train=False)
+    agg_vars = convert_module(t_agg, agg_vars)
+    costs = f_agg.apply(agg_vars, raw, train=False)
+    disp = soft_argmin(costs[0].astype(jnp.float32), max_disp=MAXD)
+
+    with torch.no_grad():
+        t_l, t_r = t_bb(torch.from_numpy(xl), torch.from_numpy(xr))
+        t_raw = ref.cat_fms(t_l, t_r, MAXD // 4)
+        t_costs = t_agg(t_raw)
+        t_disp = t_pred(t_costs[0])
+
+    t_cost = t_costs[0].numpy()
+    f_cost = np.asarray(costs[0], np.float32)
+    assert f_cost.shape == t_cost.shape == (1, MAXD, 256, 256)
+    # cost volumes agree to float tolerance through ~40 conv layers
+    np.testing.assert_allclose(f_cost, t_cost, atol=5e-3, rtol=1e-2)
+
+    t_d = np.transpose(t_disp.numpy(), (0, 2, 3, 1))
+    f_d = np.asarray(disp)
+    max_err = np.abs(t_d - f_d).max()
+    assert max_err < 0.05, f"disparity parity max err {max_err}"
+
+
+def test_gcnet_backbone_parity(ref):
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.gcnet import (
+        GCNetBackbone)
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.GCNet import GCNetBackbone as TGC
+
+    torch = ref.torch
+    torch.manual_seed(2)
+    tmodel = TGC(3, True).eval()
+    fmodel = GCNetBackbone(in_planes=3, batch_norm=True)
+    x = np.random.RandomState(2).rand(1, 3, 128, 128).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), xj, xj, train=False)
+    variables = convert_module(tmodel, variables)
+    with torch.no_grad():
+        t_l, _ = tmodel(torch.from_numpy(x), torch.from_numpy(x))
+    f_l, _ = fmodel.apply(variables, xj, xj, train=False)
+    np.testing.assert_allclose(np.asarray(f_l),
+                               np.transpose(t_l.numpy(), (0, 2, 3, 1)),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_stereonet_backbone_and_aggregator_parity(ref):
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.stereonet import (
+        StereoNetBackbone)
+    from densematchingbenchmark_tpu.models.aggregators.stereonet import (
+        StereoNetAggregator)
+    from densematchingbenchmark_tpu.ops import dif_volume
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.StereoNet import (
+        StereoNetBackbone as TSB)
+    from dmb.modeling.stereo.cost_processors.aggregators.StereoNet import (
+        StereoNetAggregator as TSA)
+    from dmb.modeling.stereo.cost_processors.utils.dif_fms import dif_fms
+
+    torch = ref.torch
+    torch.manual_seed(3)
+    t_bb = TSB(3, True, 3, 6).eval()
+    t_agg = TSA(max_disp=64, in_planes=32, batch_norm=True, num=4).eval()
+    f_bb = StereoNetBackbone(in_planes=3, batch_norm=True)
+    f_agg = StereoNetAggregator(max_disp=64, num=4, batch_norm=True)
+
+    rng = np.random.RandomState(3)
+    xl = rng.rand(1, 3, 128, 128).astype(np.float32)
+    xr = np.roll(xl, -4, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    bvars = f_bb.init(jax.random.PRNGKey(0), jl, jr, train=False)
+    bvars = convert_module(t_bb, bvars)
+    f_l, f_r = f_bb.apply(bvars, jl, jr, train=False)
+
+    raw = dif_volume(f_l, f_r, 8)                      # [B, 8, 16, 16, 32]
+    avars = f_agg.init(jax.random.PRNGKey(0), raw, train=False)
+    avars = convert_module(t_agg, avars)
+    f_cost = f_agg.apply(avars, raw, train=False)[0]
+
+    with torch.no_grad():
+        t_l, t_r = t_bb(torch.from_numpy(xl), torch.from_numpy(xr))
+        t_raw = dif_fms(t_l, t_r, 8)
+        t_cost = t_agg(t_raw)[0]
+
+    np.testing.assert_allclose(np.asarray(f_l),
+                               np.transpose(t_l.numpy(), (0, 2, 3, 1)),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_cost, np.float32),
+                               t_cost.numpy(), atol=1e-3, rtol=1e-2)
+
+
+def test_acfnet_aggregator_parity(ref):
+    """Covers the learned-deconv upsampling (ConvTranspose3d with I==O==1,
+    where the kernel-flip rule is shape-ambiguous)."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.aggregators.acfnet import (
+        AcfAggregator)
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.cost_processors.aggregators.AcfNet import (
+        AcfAggregator as TAA)
+
+    torch = ref.torch
+    torch.manual_seed(4)
+    MAXD = 32
+    t_agg = TAA(MAXD, 64, True).eval()
+    f_agg = AcfAggregator(max_disp=MAXD, batch_norm=True)
+
+    rng = np.random.RandomState(4)
+    raw = rng.rand(1, 64, MAXD // 4, 16, 16).astype(np.float32)
+    raw_j = jnp.asarray(np.transpose(raw, (0, 2, 3, 4, 1)))
+    avars = f_agg.init(jax.random.PRNGKey(0), raw_j, train=False)
+    avars = convert_module(t_agg, avars)
+    f_costs = f_agg.apply(avars, raw_j, train=False)
+    with torch.no_grad():
+        t_costs = t_agg(torch.from_numpy(raw))
+    for fc, tc in zip(f_costs, t_costs):
+        np.testing.assert_allclose(np.asarray(fc, np.float32), tc.numpy(),
+                                   atol=2e-3, rtol=1e-2)
