@@ -232,3 +232,60 @@ def test_acfnet_aggregator_parity(ref):
     for fc, tc in zip(f_costs, t_costs):
         np.testing.assert_allclose(np.asarray(fc, np.float32), tc.numpy(),
                                    atol=2e-3, rtol=1e-2)
+
+
+def test_anynet_backbone_parity(ref):
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.anynet import (
+        AnyNetBackbone)
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.AnyNet import AnyNetBackbone as TAB
+
+    torch = ref.torch
+    torch.manual_seed(5)
+    tmodel = TAB(3, 1, 2, True).eval()
+    fmodel = AnyNetBackbone(in_planes=3, C=1, block_num=2, batch_norm=True)
+    x = np.random.RandomState(5).rand(1, 3, 64, 64).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), xj, xj, train=False)
+    variables = convert_module(tmodel, variables)
+    with torch.no_grad():
+        t_group, _ = tmodel(torch.from_numpy(x), torch.from_numpy(x))
+    f_group, _ = fmodel.apply(variables, xj, xj, train=False)
+    for t_f, f_f in zip(t_group, f_group):
+        np.testing.assert_allclose(np.asarray(f_f),
+                                   np.transpose(t_f.numpy(), (0, 2, 3, 1)),
+                                   atol=2e-4, rtol=1e-2)
+
+
+def test_deeppruner_backbone_parity(ref):
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.deeppruner import (
+        DeepPrunerBestBackbone)
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.DeepPruner import (
+        DeepPrunerBestBackbone as TDB)
+
+    torch = ref.torch
+    torch.manual_seed(6)
+    tmodel = TDB(3, True).eval()
+    fmodel = DeepPrunerBestBackbone(in_planes=3, batch_norm=True)
+    x = np.random.RandomState(6).rand(1, 3, 256, 256).astype(np.float32)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), xj, xj, train=False)
+    variables = convert_module(tmodel, variables)
+    with torch.no_grad():
+        (t_fms, t_guides), _ = tmodel(torch.from_numpy(x),
+                                      torch.from_numpy(x))
+    (f_fms, f_guides), _ = fmodel.apply(variables, xj, xj, train=False)
+    np.testing.assert_allclose(np.asarray(f_fms),
+                               np.transpose(t_fms.numpy(), (0, 2, 3, 1)),
+                               atol=3e-4, rtol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(f_guides[0]),
+        np.transpose(t_guides[0].numpy(), (0, 2, 3, 1)),
+        atol=3e-4, rtol=1e-2)
