@@ -81,7 +81,26 @@ def _convert_weight(torch_name, kind, w, target_shape):
     return np.ascontiguousarray(cand)
 
 
-def convert_module(torch_module, flax_variables, skip_torch=()):
+def reorder_params(named, module_order):
+    """Reorder a [(name, tensor)] list so top-level submodules appear in
+    ``module_order`` (for modules whose definition order differs from the
+    call/creation order of the Flax counterpart, e.g. HWHourglass defines
+    conv{1,2,3}_d interleaved while the Flax module creates downs then ups).
+    """
+    groups = {}
+    rest = []
+    for name, t in named:
+        top = name.split(".")[0]
+        (groups.setdefault(top, []) if top in module_order
+         else rest).append((name, t))
+    out = []
+    for top in module_order:
+        out.extend(groups.get(top, []))
+    return out + rest
+
+
+def convert_module(torch_module, flax_variables, skip_torch=(),
+                   torch_module_order=None):
     """Order-based conversion of one torch module's weights into the Flax
     variables dict (same architecture required).
 
@@ -95,6 +114,8 @@ def convert_module(torch_module, flax_variables, skip_torch=()):
     """
     tparams = [(n, p) for n, p in torch_module.named_parameters()
                if not any(s in n for s in skip_torch)]
+    if torch_module_order:
+        tparams = reorder_params(tparams, torch_module_order)
     fparams = _flatten(dict(flax_variables["params"]))
     if len(tparams) != len(fparams):
         raise ValueError(
@@ -114,6 +135,8 @@ def convert_module(torch_module, flax_variables, skip_torch=()):
     if "batch_stats" in flax_variables:
         tbufs = [(n, b) for n, b in torch_module.named_buffers()
                  if "running_mean" in n or "running_var" in n]
+        if torch_module_order:
+            tbufs = reorder_params(tbufs, torch_module_order)
         fbufs = _flatten(dict(flax_variables["batch_stats"]))
         if len(tbufs) != len(fbufs):
             raise ValueError(f"batch-stat count mismatch: torch "

@@ -289,3 +289,33 @@ def test_deeppruner_backbone_parity(ref):
         np.asarray(f_guides[0]),
         np.transpose(t_guides[0].numpy(), (0, 2, 3, 1)),
         atol=3e-4, rtol=1e-2)
+
+
+def test_hw_hourglass_parity(ref):
+    """DeepPruner's HW-striding hourglass incl. output_padding=(0,1,1)
+    transposed convs."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.layers import HWHourglass
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.cost_processors.utils.hw_hourglass import (
+        HWHourglass as THW)
+
+    torch = ref.torch
+    torch.manual_seed(8)
+    tmodel = THW(8, True).eval()
+    fmodel = HWHourglass(8, True)
+    raw = np.random.RandomState(8).rand(1, 8, 6, 16, 16).astype(np.float32)
+    raw_j = jnp.asarray(np.transpose(raw, (0, 2, 3, 4, 1)))
+    variables = fmodel.init(jax.random.PRNGKey(0), raw_j, train=False)
+    variables = convert_module(
+        tmodel, variables,
+        torch_module_order=["conv1_a", "conv1_b", "conv2_a", "conv2_b",
+                            "conv3_a", "conv3_b", "conv3_d", "conv2_d",
+                            "conv1_d"])
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(raw)).numpy()
+    got = np.asarray(fmodel.apply(variables, raw_j, train=False))
+    np.testing.assert_allclose(np.transpose(got, (0, 4, 1, 2, 3)), want,
+                               atol=1e-4, rtol=1e-2)
