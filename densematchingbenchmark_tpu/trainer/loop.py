@@ -127,13 +127,20 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
                       metadata={"epoch": epoch + 1})
 
         if eval_dataset is not None:
+            # stride-shard the eval set across hosts (reference
+            # eval_hooks.py:142 semantics) and allgather the metric sums
             results, n = evaluate(
                 model,
                 {"params": state.params, "batch_stats": state.batch_stats},
                 eval_dataset, cfg["model"].get("eval", {}),
-                cfg.get("eval_disparity_id", (0,)))
-            logger.info(f"epoch {epoch+1} eval ({n} samples): " + ", ".join(
-                f"{k}={v:.4f}" for k, v in sorted(results.items())))
+                cfg.get("eval_disparity_id", (0,)),
+                num_shards=jax.process_count(),
+                shard_id=jax.process_index())
+            from ..evaluation.format import (combine_shard_metrics,
+                                             metrics_table)
+            results, n = combine_shard_metrics(results, n)
+            logger.info(f"epoch {epoch+1} eval ({n} samples):\n" +
+                        metrics_table(results))
             metrics_log.log(int(state.step), results, prefix="eval/")
         if done:
             break

@@ -39,9 +39,20 @@ def test_train_loop_runs_checkpoints_and_resumes(tmp_path):
     work = str(tmp_path / "work")
     cfg = tiny_cfg(tmp_path)
     mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    # eval dataset exercises the per-epoch metrics-table path
+    eval_ds = SyntheticStereoDataset(length=2, height=64, width=64,
+                                     max_disp=MAXD // 2)
+    eval_ds.transform = transforms.make_eval_transform(
+        (64, 64), (128.,) * 3, (64.,) * 3)
+    cfg["model"]["eval"] = dict(lower_bound=0, upper_bound=MAXD)
     state = train_matcher(cfg, work, train_dataset=make_ds(),
+                          eval_dataset=eval_ds,
                           max_steps=3, mesh=mesh, log_interval=1)
     assert int(state.step) == 3
+    import json
+    with open(f"{work}/metrics.log.json") as fp:
+        records = [json.loads(l) for l in fp]
+    assert any("eval/disp_0/epe" in r for r in records)
 
     # resume continues from the saved step (epoch 1 done -> run epoch 2)
     cfg2 = tiny_cfg(tmp_path, epochs=2)
