@@ -29,29 +29,37 @@ H_TILE = 8
 
 
 def _kernel(x00, x01, x10, x11, x20, x21, w_ref, scale_ref, bias_ref,
-            out_ref, *, h_t, w, cin, cout, relu):
+            out_ref, *, h_t, w, cin, cout, relu, variant):
     """x{dd}{0,1}: [1, 1, h_t, w+2, cin] main/halo blocks for depth tap dd."""
     acc = jnp.zeros((h_t * w, cout), jnp.float32)
     for dd, (main, halo) in enumerate(((x00, x01), (x10, x11), (x20, x21))):
         slab = jnp.concatenate(
             [main[0, 0], halo[0, 0, :2]], axis=0)        # [h_t+2, w+2, cin]
-        cols = []
-        for dh in range(3):
-            for dw in range(3):
-                win = slab[dh:dh + h_t, dw:dw + w, :]    # [h_t, w, cin]
-                cols.append(win.reshape(h_t * w, cin))
-        patches = jnp.concatenate(cols, axis=1)          # [h_t*w, 9*cin]
-        acc = acc + jnp.dot(patches, w_ref[dd],
-                            preferred_element_type=jnp.float32)
+        if variant == "im2col":
+            cols = []
+            for dh in range(3):
+                for dw in range(3):
+                    win = slab[dh:dh + h_t, dw:dw + w, :]  # [h_t, w, cin]
+                    cols.append(win.reshape(h_t * w, cin))
+            patches = jnp.concatenate(cols, axis=1)        # [h_t*w, 9*cin]
+            acc = acc + jnp.dot(patches, w_ref[dd],
+                                preferred_element_type=jnp.float32)
+        else:  # "taps": 9 separate matmuls, no lane-dim relayout
+            for t, (dh, dw) in enumerate((a, b) for a in range(3)
+                                         for b in range(3)):
+                win = slab[dh:dh + h_t, dw:dw + w, :].reshape(h_t * w, cin)
+                acc = acc + jnp.dot(
+                    win, w_ref[dd, t * cin:(t + 1) * cin],
+                    preferred_element_type=jnp.float32)
     out = acc * scale_ref[0] + bias_ref[0]
     if relu:
         out = jnp.maximum(out, 0.0)
     out_ref[0, 0] = out.reshape(h_t, w, cout)
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "interpret"))
+@functools.partial(jax.jit, static_argnames=("relu", "interpret", "variant"))
 def fused_conv3d(x, kernel, scale=None, bias=None, relu=False,
-                 interpret=False):
+                 interpret=False, variant="im2col"):
     """3x3x3 stride-1 SAME conv with fused scale/bias/ReLU epilogue.
 
     Args:
@@ -95,7 +103,7 @@ def fused_conv3d(x, kernel, scale=None, bias=None, relu=False,
 
     out = pl.pallas_call(
         functools.partial(_kernel, h_t=h_t, w=w, cin=cin, cout=cout,
-                          relu=relu),
+                          relu=relu, variant=variant),
         grid=(b, d, h // h_t),
         in_specs=[spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1),
                   spec(2, 0), spec(2, 1),

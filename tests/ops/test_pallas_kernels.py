@@ -50,3 +50,23 @@ def test_fused_upsample_soft_argmin_bf16_input():
     got32 = np.asarray(fused_upsample_soft_argmin(
         jnp.asarray(low), 12, 8, 128, interpret=True))
     np.testing.assert_allclose(got16, got32, atol=0.1)
+
+
+def test_fused_conv3d_matches_xla():
+    from jax import lax
+    from densematchingbenchmark_tpu.ops.pallas.conv3d_kernel import (
+        fused_conv3d)
+    rng = np.random.RandomState(4)
+    x = rng.randn(1, 4, 16, 24, 8).astype(np.float32)
+    k = rng.randn(3, 3, 3, 8, 16).astype(np.float32) * 0.1
+    scale = rng.rand(16).astype(np.float32) + 0.5
+    bias = rng.randn(16).astype(np.float32)
+    want = np.asarray(lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
+    want_ep = np.maximum(want * scale + bias, 0.0)
+    for variant in ("im2col", "taps"):
+        got = np.asarray(fused_conv3d(
+            jnp.asarray(x), jnp.asarray(k), jnp.asarray(scale),
+            jnp.asarray(bias), relu=True, interpret=True, variant=variant))
+        np.testing.assert_allclose(got, want_ep, atol=1e-3, rtol=1e-3)
