@@ -73,7 +73,7 @@ def inverse_warp_2d(img, disp):
     return gather_1d_linear(img, xs[..., None], axis=2)
 
 
-def inverse_warp_3d(fm, disp_sample):
+def inverse_warp_3d(fm, disp_sample, compat_grid_sample=False):
     """Per-sample warp of a feature map along width: the stereo 'gather'.
 
     out[b, d, y, x, c] = fm[b, y, x - disp_sample[b, d, y, x], c] with linear
@@ -86,6 +86,12 @@ def inverse_warp_3d(fm, disp_sample):
     Args:
       fm: [B, H, W, C] feature map (the target/right view).
       disp_sample: [B, D, H, W] per-pixel disparity samples.
+      compat_grid_sample: reproduce the reference's exact numerics — it
+        normalizes coordinates with the align_corners=True formula but
+        samples with F.grid_sample's default align_corners=False, which
+        rescales the sample position to x * W/(W-1) - 0.5. Off by default
+        (the mathematically exact warp); turn on for bit-faithful reuse of
+        reference checkpoints in the warp-based models (AnyNet/DeepPruner).
 
     Returns:
       warped: [B, D, H, W, C]
@@ -95,6 +101,32 @@ def inverse_warp_3d(fm, disp_sample):
     b, h, w, c = fm.shape
     d = disp_sample.shape[1]
     xs = jnp.arange(w, dtype=disp_sample.dtype)[None, None, None, :] - disp_sample
+    if compat_grid_sample:
+        # grid_sample(align_corners=False) on align_corners=True-normalized
+        # coords rescales EVERY axis: p -> p * n/(n-1) - 0.5. Along W that
+        # shifts the sample; along H it blends adjacent rows; along D (the
+        # expanded axis, constant values) it attenuates the first/last
+        # slices via the zero-padding taps.
+        def _axis_pos(n, dtype):
+            return (jnp.arange(n, dtype=dtype) * (n / (n - 1)) - 0.5)
+
+        def _axis_border_scale(n, dtype):
+            pos = _axis_pos(n, dtype)
+            p0 = jnp.floor(pos)
+            frac = pos - p0
+            w0 = jnp.where((p0 >= 0) & (p0 <= n - 1), 1 - frac, 0.0)
+            w1 = jnp.where((p0 + 1 >= 0) & (p0 + 1 <= n - 1), frac, 0.0)
+            return w0 + w1
+
+        ys = _axis_pos(h, disp_sample.dtype)
+        fm = gather_1d_linear(fm, ys[None, :, None, None], axis=1)
+        xs = xs * (w / (w - 1)) - 0.5
+        src = fm[:, None]
+        warped = gather_1d_linear(src, xs[..., None], axis=3)
+        warped = warped * _axis_border_scale(d, warped.dtype)[
+            None, :, None, None, None]
+        valid = ((xs >= 0) & (xs <= w - 1)).astype(fm.dtype)[..., None]
+        return warped, valid
     # [B, D, H, W] fractional source coords; gather from fm expanded over D.
     src = fm[:, None]  # [B, 1, H, W, C]
     warped = gather_1d_linear(src, xs[..., None], axis=3)

@@ -92,13 +92,26 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
 
     total_epochs = cfg.get("total_epochs", 10)
     done = False
-    for epoch in range(start_epoch, total_epochs):
-        t_data = t_step = 0.0
-        t0 = time.perf_counter()
+
+    def device_batches(epoch):
+        """Host batches -> sharded device batches with 1-deep prefetch:
+        the next batch's H2D transfer overlaps the current step (device_put
+        is async)."""
+        pending = None
         for batch in loader.epoch(epoch):
             batch = {k: v for k, v in batch.items()
                      if k in ("leftImage", "rightImage", "leftDisp")}
-            batch = shard_batch(mesh, batch)
+            nxt = shard_batch(mesh, batch)
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+    for epoch in range(start_epoch, total_epochs):
+        t_data = t_step = 0.0
+        t0 = time.perf_counter()
+        for batch in device_batches(epoch):
             t1 = time.perf_counter()
             state, metrics = step_fn(state, batch)
             step_num = int(state.step)

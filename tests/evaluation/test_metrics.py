@@ -47,3 +47,27 @@ def test_remove_padding():
     out = remove_padding(x, 4, 3)
     assert out.shape == (2, 4, 3, 1)
     np.testing.assert_allclose(np.asarray(out), x[:, 2:, :3, :])
+
+
+def test_heterogeneous_original_sizes_eval():
+    """KITTI-style: per-sample original sizes differ; zero-padded GT keeps
+    shapes static and the lb=0 mask makes metrics exact."""
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.data import transforms
+
+    rng = np.random.RandomState(0)
+    pad_shape = (32, 48)
+    sizes = [(28, 44), (30, 40), (32, 48)]
+    for h, w in sizes:
+        disp = rng.rand(h, w, 1).astype(np.float32) * 20 + 1
+        sample = {"leftImage": rng.rand(h, w, 3).astype(np.float32),
+                  "rightImage": rng.rand(h, w, 3).astype(np.float32),
+                  "leftDisp": disp}
+        padded = transforms.pad_to(sample, pad_shape, pad_disp=True)
+        assert padded["leftDisp"].shape == pad_shape + (1,)
+        est = np.zeros(pad_shape + (1,), np.float32)
+        est[-h:, :w] = disp + 1.5  # off by 1.5 inside the frame
+        m = calc_error(est[None], padded["leftDisp"][None], lb=0, ub=192)
+        np.testing.assert_allclose(float(m["epe"]), 1.5, atol=1e-5)
+        np.testing.assert_allclose(float(m["1px"]), 100.0, atol=1e-4)
+        np.testing.assert_allclose(float(m["2px"]), 0.0, atol=1e-4)

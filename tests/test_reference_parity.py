@@ -319,3 +319,29 @@ def test_hw_hourglass_parity(ref):
     got = np.asarray(fmodel.apply(variables, raw_j, train=False))
     np.testing.assert_allclose(np.transpose(got, (0, 4, 1, 2, 3)), want,
                                atol=1e-4, rtol=1e-2)
+
+
+def test_compat_grid_sample_matches_torch_warp(ref):
+    """compat mode reproduces the reference's grid_sample numerics exactly
+    (align_corners=True normalization + align_corners=False sampling)."""
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.ops.warp import inverse_warp_3d
+
+    torch = ref.torch
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.layers.inverse_warp_3d import (
+        inverse_warp_3d as t_warp)
+
+    rng = np.random.RandomState(9)
+    fm = rng.rand(1, 4, 6, 16).astype(np.float32)        # torch NCHW
+    ds = (rng.rand(1, 3, 6, 16) * 4).astype(np.float32)  # [B, D, H, W]
+    with torch.no_grad():
+        want = t_warp(torch.from_numpy(fm), -torch.from_numpy(ds)).numpy()
+    fm_j = jnp.asarray(np.transpose(fm, (0, 2, 3, 1)))   # NHWC
+    got, _ = inverse_warp_3d(fm_j, jnp.asarray(ds), compat_grid_sample=True)
+    got = np.transpose(np.asarray(got), (0, 4, 1, 2, 3))  # [B, C, D, H, W]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and WITHOUT compat the exact warp deviates (the documented quirk)
+    got2, _ = inverse_warp_3d(fm_j, jnp.asarray(ds))
+    got2 = np.transpose(np.asarray(got2), (0, 4, 1, 2, 3))
+    assert np.abs(got2 - want).max() > 1e-3
