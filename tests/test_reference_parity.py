@@ -345,3 +345,71 @@ def test_compat_grid_sample_matches_torch_warp(ref):
     got2, _ = inverse_warp_3d(fm_j, jnp.asarray(ds))
     got2 = np.transpose(np.asarray(got2), (0, 4, 1, 2, 3))
     assert np.abs(got2 - want).max() > 1e-3
+
+
+def test_stereonet_full_model_parity(ref):
+    """backbone -> dif volume -> aggregation -> soft-argmin -> edge-aware
+    refinement, end to end (covers the align_corners=False upsampling)."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.stereonet import (
+        StereoNetBackbone)
+    from densematchingbenchmark_tpu.models.aggregators.stereonet import (
+        StereoNetAggregator)
+    from densematchingbenchmark_tpu.models.refinement.stereonet import (
+        StereoNetRefinement)
+    from densematchingbenchmark_tpu.ops import dif_volume, soft_argmin
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.StereoNet import (
+        StereoNetBackbone as TSB)
+    from dmb.modeling.stereo.cost_processors.aggregators.StereoNet import (
+        StereoNetAggregator as TSA)
+    from dmb.modeling.stereo.disp_refinement.StereoNet import (
+        StereoNetRefinement as TSR)
+    from dmb.modeling.stereo.cost_processors.utils.dif_fms import dif_fms
+    from dmb.modeling.stereo.disp_predictors.faster_soft_argmin import (
+        FasterSoftArgmin)
+
+    torch = ref.torch
+    torch.manual_seed(10)
+    MAXD = 64
+    t_bb = TSB(3, True, 3, 6).eval()
+    t_agg = TSA(max_disp=MAXD, in_planes=32, batch_norm=True, num=4).eval()
+    t_ref = TSR(in_planes=4, batch_norm=True, num=1).eval()
+    t_pred = FasterSoftArgmin(MAXD // 8)
+
+    f_bb = StereoNetBackbone(in_planes=3, batch_norm=True)
+    f_agg = StereoNetAggregator(max_disp=MAXD, num=4, batch_norm=True)
+    f_ref = StereoNetRefinement(num=1, batch_norm=True)
+
+    rng = np.random.RandomState(10)
+    xl = rng.rand(1, 3, 128, 128).astype(np.float32)
+    xr = np.roll(xl, -4, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    bvars = convert_module(
+        t_bb, f_bb.init(jax.random.PRNGKey(0), jl, jr, train=False))
+    f_l, f_r = f_bb.apply(bvars, jl, jr, train=False)
+    raw = dif_volume(f_l, f_r, MAXD // 8)
+    avars = convert_module(
+        t_agg, f_agg.init(jax.random.PRNGKey(0), raw, train=False))
+    f_cost = f_agg.apply(avars, raw, train=False)[0]
+    f_disp = soft_argmin(f_cost.astype(jnp.float32), max_disp=MAXD // 8)
+    rvars = f_ref.init(jax.random.PRNGKey(0), [f_disp], f_l, f_r, jl, jr,
+                       train=False)
+    rvars = convert_module(t_ref, rvars)
+    f_disps = f_ref.apply(rvars, [f_disp], f_l, f_r, jl, jr, train=False)
+
+    with torch.no_grad():
+        t_l, t_r = t_bb(torch.from_numpy(xl), torch.from_numpy(xr))
+        t_cost = t_agg(dif_fms(t_l, t_r, MAXD // 8))[0]
+        t_disp = t_pred(t_cost)
+        t_disps = t_ref([t_disp], t_l, t_r, torch.from_numpy(xl),
+                        torch.from_numpy(xr))
+
+    for f_d, t_d in zip(f_disps, t_disps):
+        err = np.abs(np.asarray(f_d) -
+                     np.transpose(t_d.numpy(), (0, 2, 3, 1))).max()
+        assert err < 0.05, f"refined disparity parity max err {err}"
