@@ -413,3 +413,75 @@ def test_stereonet_full_model_parity(ref):
         err = np.abs(np.asarray(f_d) -
                      np.transpose(t_d.numpy(), (0, 2, 3, 1))).max()
         assert err < 0.05, f"refined disparity parity max err {err}"
+
+
+def test_acfnet_full_model_parity(ref):
+    """backbone -> cat volume -> Acf aggregation -> confidence heads ->
+    soft-argmin: the third full model proven numerically identical."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.psmnet import (
+        PSMNetBackbone)
+    from densematchingbenchmark_tpu.models.aggregators.acfnet import (
+        AcfAggregator)
+    from densematchingbenchmark_tpu.models.cmn import Cmn
+    from densematchingbenchmark_tpu.ops import cat_volume, soft_argmin
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.cost_processors.aggregators.AcfNet import (
+        AcfAggregator as TAA)
+    from dmb.modeling.stereo.cmn.cmn import ConfHead as TCH
+
+    torch = ref.torch
+    torch.manual_seed(11)
+    MAXD = 32
+    t_bb = ref.PSMNetBackbone(3, True).eval()
+    t_agg = TAA(MAXD, 64, True).eval()
+    t_heads = [TCH(MAXD, True).eval() for _ in range(3)]
+
+    f_bb = PSMNetBackbone(in_planes=3, batch_norm=True)
+    f_agg = AcfAggregator(max_disp=MAXD, batch_norm=True)
+    f_cmn = Cmn(in_planes=MAXD, num=3, alpha=1.0, beta=1.0, batch_norm=True)
+
+    rng = np.random.RandomState(11)
+    # 256x256: the torch SPP backbone needs features >= its 64-wide pool
+    xl = rng.rand(1, 3, 256, 256).astype(np.float32)
+    xr = np.roll(xl, -3, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    bvars = convert_module(
+        t_bb, f_bb.init(jax.random.PRNGKey(0), jl, jr, train=False))
+    f_l, f_r = f_bb.apply(bvars, jl, jr, train=False)
+    raw = cat_volume(f_l, f_r, MAXD // 4)
+    avars = convert_module(
+        t_agg, f_agg.init(jax.random.PRNGKey(0), raw, train=False))
+    f_costs = [c.astype(jnp.float32)
+               for c in f_agg.apply(avars, raw, train=False)]
+
+    cvars = f_cmn.init(jax.random.PRNGKey(0), f_costs, train=False)
+
+    class Heads(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.heads = torch.nn.ModuleList(t_heads)
+
+    cvars = convert_module(Heads(), cvars)
+    f_vars_, f_confs, _ = f_cmn.apply(cvars, f_costs, train=False)
+
+    with torch.no_grad():
+        t_l, t_r = t_bb(torch.from_numpy(xl), torch.from_numpy(xr))
+        t_costs = t_agg(ref.cat_fms(t_l, t_r, MAXD // 4))
+        t_confs = [torch.sigmoid(h(c)) for h, c in zip(t_heads, t_costs)]
+
+    for fc, tc in zip(f_costs, t_costs):
+        assert np.abs(np.asarray(fc) - tc.numpy()).max() < 5e-3
+    for fc, tc in zip(f_confs, t_confs):
+        err = np.abs(np.asarray(fc) -
+                     np.transpose(tc.numpy(), (0, 2, 3, 1))).max()
+        assert err < 1e-3, f"confidence parity max err {err}"
+    f_disp = soft_argmin(f_costs[0], max_disp=MAXD)
+    t_disp = ref.FasterSoftArgmin(MAXD)(t_costs[0])
+    err = np.abs(np.asarray(f_disp) -
+                 np.transpose(t_disp.numpy(), (0, 2, 3, 1))).max()
+    assert err < 0.05, f"disparity parity max err {err}"
