@@ -37,6 +37,9 @@ class AnyNet(nn.Module):
     alpha: float = 1.0
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    # reproduce the reference's grid_sample warp numerics exactly (for
+    # reference-checkpoint reuse); the exact warp is the default
+    compat_warp: bool = False
 
     def setup(self):
         self.aggregators = {
@@ -60,7 +63,8 @@ class AnyNet(nn.Module):
             disp_sample = disp_sample + up[..., 0][:, None]
         else:
             up = None
-        raw = dif_volume(left, right, maxd, disp_sample=disp_sample)
+        raw = dif_volume(left, right, maxd, disp_sample=disp_sample,
+                         compat_grid_sample=self.compat_warp)
         cost = self.aggregators[st](raw.astype(self.dtype), train=train)[0]
         # residual stages regress the *offset* samples; init regresses
         # absolute disparity (the samples ARE the absolute values there)

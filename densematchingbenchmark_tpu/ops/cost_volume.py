@@ -55,7 +55,7 @@ def _shifted_pairs(reference_fm, target_fm, max_disp, start_disp, dilation):
 
 
 def cat_volume(reference_fm, target_fm, max_disp, start_disp=0, dilation=1,
-               disp_sample=None):
+               disp_sample=None, compat_grid_sample=False):
     """Concatenation cost volume.
 
     Args:
@@ -75,14 +75,21 @@ def cat_volume(reference_fm, target_fm, max_disp, start_disp=0, dilation=1,
     # warped already has zero-padding (per-tap) semantics; the reference
     # features are zeroed where the warp is not fully in-frame, matching the
     # exact path's validity region (boundary pixels get a partial target tap).
-    warped, valid = inverse_warp_3d(target_fm, disp_sample)
+    warped, valid = inverse_warp_3d(target_fm, disp_sample,
+                                    compat_grid_sample=compat_grid_sample)
+    if compat_grid_sample:
+        # bit-faithful reference masking quirk: ref zeroed wherever the
+        # warped feature value is <= 0 (fast_cat_fms, cat_fms.py:80-81)
+        ref = reference_fm[:, None] * (warped > 0).astype(warped.dtype)
+        return jnp.concatenate([ref, warped], axis=-1)
     ref = reference_fm[:, None] * valid
     return jnp.concatenate([jnp.broadcast_to(ref, warped.shape), warped],
                            axis=-1)
 
 
 def dif_volume(reference_fm, target_fm, max_disp, start_disp=0, dilation=1,
-               disp_sample=None, normalize=False, p=1.0):
+               disp_sample=None, normalize=False, p=1.0,
+               compat_grid_sample=False):
     """Difference cost volume: ref - warped(target).
 
     Parity: dmb/modeling/stereo/cost_processors/utils/dif_fms.py:7-92.
@@ -95,8 +102,14 @@ def dif_volume(reference_fm, target_fm, max_disp, start_disp=0, dilation=1,
                                                    max_disp, start_disp, dilation)]
         vol = jnp.stack(slices, axis=1)
     else:
-        warped, valid = inverse_warp_3d(target_fm, disp_sample)
-        vol = reference_fm[:, None] * valid - warped
+        warped, valid = inverse_warp_3d(target_fm, disp_sample,
+                                        compat_grid_sample=compat_grid_sample)
+        if compat_grid_sample:
+            # bit-faithful reference masking quirk (dif_fms.py:80-84)
+            vol = reference_fm[:, None] * (warped > 0).astype(warped.dtype) \
+                - warped
+        else:
+            vol = reference_fm[:, None] * valid - warped
     if normalize:
         if p == 1.0:
             return jnp.sum(jnp.abs(vol), axis=-1)

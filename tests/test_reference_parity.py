@@ -485,3 +485,147 @@ def test_acfnet_full_model_parity(ref):
     err = np.abs(np.asarray(f_disp) -
                  np.transpose(t_disp.numpy(), (0, 2, 3, 1))).max()
     assert err < 0.05, f"disparity parity max err {err}"
+
+
+def test_gcnet_full_model_parity(ref):
+    """backbone -> concat volume at 1/2 -> 19-37 layer encoder-decoder ->
+    soft-argmin: fourth full model."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.backbones.gcnet import (
+        GCNetBackbone)
+    from densematchingbenchmark_tpu.models.aggregators.gcnet import (
+        GCAggregator)
+    from densematchingbenchmark_tpu.ops import cat_volume, soft_argmin
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.GCNet import GCNetBackbone as TGC
+    from dmb.modeling.stereo.cost_processors.aggregators.GCNet import (
+        GCAggregator as TGA)
+    from dmb.modeling.stereo.cost_processors.utils.cat_fms import cat_fms
+    from dmb.modeling.stereo.disp_predictors.faster_soft_argmin import (
+        FasterSoftArgmin)
+
+    torch = ref.torch
+    torch.manual_seed(12)
+    MAXD = 32  # D/2=16 survives the 4 stride-2 stages (16->8->4->2->1)
+    t_bb = TGC(3, True).eval()
+    t_agg = TGA(MAXD, 64, True).eval()
+    f_bb = GCNetBackbone(in_planes=3, batch_norm=True)
+    f_agg = GCAggregator(max_disp=MAXD, in_planes=64, batch_norm=True)
+
+    rng = np.random.RandomState(12)
+    xl = rng.rand(1, 3, 64, 64).astype(np.float32)
+    xr = np.roll(xl, -3, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    bvars = convert_module(
+        t_bb, f_bb.init(jax.random.PRNGKey(0), jl, jr, train=False))
+    f_l, f_r = f_bb.apply(bvars, jl, jr, train=False)
+    raw = cat_volume(f_l, f_r, MAXD // 2)
+    avars = convert_module(
+        t_agg, f_agg.init(jax.random.PRNGKey(0), raw, train=False))
+    f_cost = f_agg.apply(avars, raw, train=False)[0].astype(jnp.float32)
+    f_disp = soft_argmin(f_cost, max_disp=MAXD)
+
+    with torch.no_grad():
+        t_l, t_r = t_bb(torch.from_numpy(xl), torch.from_numpy(xr))
+        t_cost = t_agg(cat_fms(t_l, t_r, MAXD // 2))[0]
+        t_disp = FasterSoftArgmin(MAXD)(t_cost)
+
+    np.testing.assert_allclose(np.asarray(f_cost), t_cost.numpy(),
+                               atol=5e-3, rtol=1e-2)
+    err = np.abs(np.asarray(f_disp) -
+                 np.transpose(t_disp.numpy(), (0, 2, 3, 1))).max()
+    assert err < 0.05, f"disparity parity max err {err}"
+
+
+def test_anynet_stages_parity_compat_warp(ref):
+    """AnyNet's three coarse-to-fine stages (pre-SPN) with compat warp:
+    fifth model family proven numerically identical."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models import build_model
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.backbones.AnyNet import AnyNetBackbone as TAB
+    from dmb.modeling.stereo.cost_processors.aggregators.AnyNet import (
+        AnyNetAggregator as TAG)
+    from dmb.modeling.stereo.cost_processors.utils.dif_fms import fast_dif_fms
+    from dmb.modeling.stereo.disp_predictors.faster_soft_argmin import (
+        FasterSoftArgmin)
+
+    torch = ref.torch
+    F = torch.nn.functional
+    torch.manual_seed(13)
+    t_bb = TAB(3, 1, 2, True).eval()
+    t_aggs = {"init_guess": TAG(8, 16, 4, True).eval(),
+              "warp_level_8": TAG(4, 4, 4, True).eval(),
+              "warp_level_4": TAG(2, 4, 4, True).eval()}
+    conf = dict(init_guess=(4, 0), warp_level_8=(5, -2), warp_level_4=(5, -2))
+
+    from densematchingbenchmark_tpu.models.anynet import AnyNet
+    from densematchingbenchmark_tpu.models.backbones.anynet import (
+        AnyNetBackbone)
+    f_model = AnyNet(
+        backbone=AnyNetBackbone(in_planes=3, C=1, block_num=2,
+                                batch_norm=True),
+        disp_refinement=None, max_disp=64,
+        stage_max_disp={k: v[0] for k, v in conf.items()},
+        stage_start_disp={k: v[1] for k, v in conf.items()},
+        stage_dilation={k: 1 for k in conf},
+        stage_agg_planes=dict(init_guess=16, warp_level_8=4,
+                              warp_level_4=4),
+        agg_num=4, batch_norm=True, compat_warp=True)
+
+    rng = np.random.RandomState(13)
+    xl = rng.rand(1, 3, 64, 64).astype(np.float32)
+    xr = np.roll(xl, -3, axis=3)
+    jl = jnp.asarray(np.transpose(xl, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(xr, (0, 2, 3, 1)))
+
+    variables = f_model.init(jax.random.PRNGKey(0), jl, jr, train=False)
+
+    class Wrapper(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = t_bb
+            self.agg_init_guess = t_aggs["init_guess"]
+            self.agg_warp_level_8 = t_aggs["warp_level_8"]
+            self.agg_warp_level_4 = t_aggs["warp_level_4"]
+
+    variables = convert_module(Wrapper(), variables)
+    out = f_model.apply(variables, jl, jr, train=False)
+
+    # reference forward (AnyNet.py stage logic, no SPN)
+    def t_stage(st, left, right, disp):
+        B, C, H, W = left.shape
+        maxd, start = conf[st]
+        ds = torch.linspace(start, start + maxd - 1, maxd).view(
+            1, maxd, 1, 1).expand(B, maxd, H, W).float()
+        if disp is not None:
+            scale = W / disp.shape[-1]
+            disp = F.interpolate(disp * scale, size=(H, W), mode="bilinear",
+                                 align_corners=False)
+            ds = ds + disp
+        cost = t_aggs[st](fast_dif_fms(left, right, disp_sample=ds))[0]
+        pred = FasterSoftArgmin(maxd, start)(cost)
+        return pred if disp is None else pred + disp
+
+    with torch.no_grad():
+        (l16, l8, l4), (r16, r8, r4) = t_bb(torch.from_numpy(xl),
+                                            torch.from_numpy(xr))
+        d16 = t_stage("init_guess", l16, r16, None)
+        d8 = t_stage("warp_level_8", l8, r8, d16)
+        d4 = t_stage("warp_level_4", l4, r4, d8)
+        H, W = 64, 64
+        t_disps = [F.interpolate(d * W / d.shape[-1], size=(H, W),
+                                 mode="bilinear", align_corners=False)
+                   for d in (d4, d8, d16)]
+
+    for f_d, t_d in zip(out["disps"], t_disps):
+        err = np.abs(np.asarray(f_d) -
+                     np.transpose(t_d.numpy(), (0, 2, 3, 1))).max()
+        assert err < 0.05, f"AnyNet stage disparity parity max err {err}"
