@@ -81,26 +81,51 @@ def _convert_weight(torch_name, kind, w, target_shape):
     return np.ascontiguousarray(cand)
 
 
-def reorder_params(named, module_order):
-    """Reorder a [(name, tensor)] list so top-level submodules appear in
-    ``module_order`` (for modules whose definition order differs from the
-    call/creation order of the Flax counterpart, e.g. HWHourglass defines
-    conv{1,2,3}_d interleaved while the Flax module creates downs then ups).
+def reorder_params(named, module_order=None, child_orders=None):
+    """Reorder a [(name, tensor)] list to match the Flax creation order.
+
+    module_order: desired order of top-level submodule names (for modules
+      whose definition order differs from the Flax call order, e.g.
+      HWHourglass defines conv{1,2,3}_d interleaved while the Flax module
+      creates downs then ups).
+    child_orders: {parent_prefix: [child names in desired order]} — the
+      same reordering applied to a nested submodule's children (entries
+      for one parent are contiguous, so its slice is permuted in place).
     """
-    groups = {}
-    rest = []
-    for name, t in named:
-        top = name.split(".")[0]
-        (groups.setdefault(top, []) if top in module_order
-         else rest).append((name, t))
-    out = []
-    for top in module_order:
-        out.extend(groups.get(top, []))
-    return out + rest
+    named = list(named)
+    if child_orders:
+        for parent, order in child_orders.items():
+            pre = parent + "."
+            idxs = [i for i, (n, _) in enumerate(named)
+                    if n.startswith(pre)]
+            if not idxs:
+                continue
+            seg = [named[i] for i in idxs]
+
+            def child_rank(item):
+                child = item[0][len(pre):].split(".")[0]
+                return (order.index(child) if child in order
+                        else len(order))
+
+            seg.sort(key=child_rank)  # stable within a child
+            for i, item in zip(idxs, seg):
+                named[i] = item
+    if module_order:
+        groups = {}
+        rest = []
+        for name, t in named:
+            top = name.split(".")[0]
+            (groups.setdefault(top, []) if top in module_order
+             else rest).append((name, t))
+        named = []
+        for top in module_order:
+            named.extend(groups.get(top, []))
+        named += rest
+    return named
 
 
 def convert_module(torch_module, flax_variables, skip_torch=(),
-                   torch_module_order=None):
+                   torch_module_order=None, torch_child_orders=None):
     """Order-based conversion of one torch module's weights into the Flax
     variables dict (same architecture required).
 
@@ -114,8 +139,9 @@ def convert_module(torch_module, flax_variables, skip_torch=(),
     """
     tparams = [(n, p) for n, p in torch_module.named_parameters()
                if not any(s in n for s in skip_torch)]
-    if torch_module_order:
-        tparams = reorder_params(tparams, torch_module_order)
+    if torch_module_order or torch_child_orders:
+        tparams = reorder_params(tparams, torch_module_order,
+                                 torch_child_orders)
     fparams = _flatten(dict(flax_variables["params"]))
     if len(tparams) != len(fparams):
         raise ValueError(
@@ -135,8 +161,9 @@ def convert_module(torch_module, flax_variables, skip_torch=(),
     if "batch_stats" in flax_variables:
         tbufs = [(n, b) for n, b in torch_module.named_buffers()
                  if "running_mean" in n or "running_var" in n]
-        if torch_module_order:
-            tbufs = reorder_params(tbufs, torch_module_order)
+        if torch_module_order or torch_child_orders:
+            tbufs = reorder_params(tbufs, torch_module_order,
+                                   torch_child_orders)
         fbufs = _flatten(dict(flax_variables["batch_stats"]))
         if len(tbufs) != len(fbufs):
             raise ValueError(f"batch-stat count mismatch: torch "

@@ -629,3 +629,68 @@ def test_anynet_stages_parity_compat_warp(ref):
         err = np.abs(np.asarray(f_d) -
                      np.transpose(t_d.numpy(), (0, 2, 3, 1))).max()
         assert err < 0.05, f"AnyNet stage disparity parity max err {err}"
+
+
+def test_deeppruner_range_predictor_parity(ref):
+    """DeepPruner's deterministic core given identical disparity samples:
+    compat cat volume + ConfidenceRangePredictor (twin HW-hourglasses) ->
+    min/max disparity. Sixth family component-verified (the PatchMatch
+    sampler itself is stochastic and cannot share RNG across frameworks)."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.models.deeppruner import (
+        ConfidenceRangePredictor)
+    from densematchingbenchmark_tpu.ops import cat_volume
+    from densematchingbenchmark_tpu.utils.torch_convert import convert_module
+    sys.path.insert(0, REFERENCE)
+    from dmb.modeling.stereo.cost_processors.DeepPruner import (
+        ConfidenceRangePredictor as TCRP)
+    from dmb.modeling.stereo.cost_processors.utils.cat_fms import fast_cat_fms
+
+    torch = ref.torch
+    torch.manual_seed(14)
+    NSAMP, C = 6, 16
+    t_crp = TCRP(in_planes=2 * C + 1, hourglass_in_planes=8,
+                 disparity_sample_number=NSAMP, batch_norm=True).eval()
+    f_crp = ConfidenceRangePredictor(hourglass_in_planes=8, batch_norm=True)
+
+    rng = np.random.RandomState(14)
+    left = rng.rand(1, C, 16, 16).astype(np.float32)
+    right = np.roll(left, -2, axis=3)
+    samples = np.sort(rng.rand(1, NSAMP, 16, 16) * 6, axis=1).astype(
+        np.float32)
+
+    jl = jnp.asarray(np.transpose(left, (0, 2, 3, 1)))
+    jr = jnp.asarray(np.transpose(right, (0, 2, 3, 1)))
+    js = jnp.asarray(samples)
+    raw = cat_volume(jl, jr, 8, disp_sample=js, compat_grid_sample=True)
+    raw = jnp.concatenate([raw, js[..., None]], axis=-1)
+
+    variables = f_crp.init(jax.random.PRNGKey(0), raw, js, train=False)
+    order = ["dres0", "dres1", "min_disparity_predictor",
+             "max_disparity_predictor", "min_disparity_conv",
+             "max_disparity_conv", "min_disparity_feature_conv",
+             "max_disparity_feature_conv"]
+    hw = ["conv1_a", "conv1_b", "conv2_a", "conv2_b", "conv3_a", "conv3_b",
+          "conv3_d", "conv2_d", "conv1_d"]
+    variables = convert_module(
+        t_crp, variables, torch_module_order=order,
+        torch_child_orders={"min_disparity_predictor.0": hw,
+                            "max_disparity_predictor.0": hw})
+    f_min, f_max, f_minf, f_maxf = f_crp.apply(variables, raw, js,
+                                               train=False)
+
+    with torch.no_grad():
+        t_raw = fast_cat_fms(torch.from_numpy(left), torch.from_numpy(right),
+                             disp_sample=torch.from_numpy(samples))
+        t_raw = torch.cat((t_raw, torch.from_numpy(samples).unsqueeze(1)), 1)
+        t_min, t_max, t_minf, t_maxf = t_crp(t_raw,
+                                             torch.from_numpy(samples))
+
+    for f_x, t_x in ((f_min, t_min), (f_max, t_max)):
+        err = np.abs(np.asarray(f_x) -
+                     np.transpose(t_x.numpy(), (0, 2, 3, 1))).max()
+        assert err < 0.02, f"range predictor parity max err {err}"
+    for f_x, t_x in ((f_minf, t_minf), (f_maxf, t_maxf)):
+        err = np.abs(np.asarray(f_x) - t_x.numpy()).max()
+        assert err < 0.01, f"range feature parity max err {err}"
