@@ -19,13 +19,18 @@ class CheckpointManager:
             path, options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True))
 
-    def save(self, step, state, metadata=None):
+    def save(self, step, state, metadata=None, overwrite=False):
+        """overwrite=True replaces an existing checkpoint at ``step``
+        (orbax otherwise silently skips already-saved steps)."""
+        if overwrite and step in self.manager.all_steps():
+            self.manager.delete(step)
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             **({"metadata": ocp.args.JsonSave(metadata)}
                if metadata is not None else {}))
-        self.manager.save(step, args=args)
+        saved = self.manager.save(step, args=args)
         self.manager.wait_until_finished()
+        return saved
 
     def latest_step(self):
         return self.manager.latest_step()

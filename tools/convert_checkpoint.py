@@ -6,8 +6,9 @@ restores the .pth state_dict into it, converts the weights via
 utils/torch_convert, and writes an orbax checkpoint that tools/test.py /
 apis.init_model can consume.
 
-Currently supported: GeneralizedStereoModel checkpoints whose components
-have converter coverage (PSMNet, GCNet, StereoNet, AcfNet trunks).
+Currently supported: GeneralizedStereoModel checkpoints (PSMNet, GCNet,
+StereoNet, AcfNet) including their disp_refinement (StereoNet) and
+confidence-measure cmn heads (AcfNet) when present in the config.
 
 Example:
   python tools/convert_checkpoint.py --config PSMNet/scene_flow \\
@@ -54,6 +55,9 @@ def build_reference_torch_model(cfg):
         GCAggregator)
     from dmb.modeling.stereo.cost_processors.aggregators.StereoNet import (
         StereoNetAggregator)
+    from dmb.modeling.stereo.disp_refinement.StereoNet import (
+        StereoNetRefinement)
+    from dmb.modeling.stereo.cmn.cmn import ConfHead
 
     m = cfg["model"]
     backbones = {"PSMNet": lambda: PSMNetBackbone(3, True),
@@ -77,6 +81,21 @@ def build_reference_torch_model(cfg):
             self.backbone = backbones[m["backbone"]["type"]]()
             self.aggregator = aggs[
                 m["cost_processor"]["cost_aggregator"]["type"]]()
+            if m.get("disp_refinement", {}).get("type") == "StereoNet":
+                self.disp_refinement = StereoNetRefinement(
+                    in_planes=4, batch_norm=True,
+                    num=m["disp_refinement"].get("num", 1))
+            if "cmn" in m:
+                c = m["cmn"]
+
+                class CmnWrap(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.conf_heads = nn.ModuleList(
+                            [ConfHead(c["in_planes"], True)
+                             for _ in range(c["num"])])
+
+                self.cmn = CmnWrap()
 
     return Wrapper()
 
@@ -121,7 +140,12 @@ def main():
               f"(e.g. {unexpected[:3]})")
 
     model = build_model(cfg)
+    # init at a small spatial size: conv/BN param shapes are
+    # resolution-independent, and the full test resolution would run a
+    # huge cost-volume forward just to trace shapes (256x512 keeps the
+    # PSMNet SPP branch valid: 64-wide pool at 1/4 resolution).
     h, w = cfg["data"]["test"]["input_shape"]
+    h, w = min(h, 256), min(w, 512)
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
 
@@ -143,13 +167,27 @@ def main():
     stats = dict(variables["batch_stats"])
     stats["backbone"] = bb_new["batch_stats"]
     stats["cost_processor"] = {agg_key: agg_new["batch_stats"]}
+    # optional heads present in both trees: refinement, confidence (cmn)
+    for tattr, fkey in (("disp_refinement", "disp_refinement"),
+                        ("cmn", "cmn")):
+        if fkey in params and hasattr(tmodel, tattr):
+            sub_vars = {"params": variables["params"][fkey]}
+            if fkey in variables.get("batch_stats", {}):
+                sub_vars["batch_stats"] = variables["batch_stats"][fkey]
+            sub_new = convert_module(getattr(tmodel, tattr), sub_vars)
+            params[fkey] = sub_new["params"]
+            if "batch_stats" in sub_new:
+                stats[fkey] = sub_new["batch_stats"]
     variables = {"params": params, "batch_stats": stats}
 
     tx, _ = build_optimizer(cfg, steps_per_epoch=1)
     state = TrainState.create(variables, tx, jax.random.PRNGKey(0))
-    CheckpointManager(args.out_dir).save(
+    saved = CheckpointManager(args.out_dir).save(
         0, jax.device_get(state),
-        metadata={"converted_from": os.path.abspath(args.pth)})
+        metadata={"converted_from": os.path.abspath(args.pth)},
+        overwrite=True)
+    if not saved:
+        raise RuntimeError(f"orbax refused to save to {args.out_dir}")
     print(f"converted checkpoint written to {args.out_dir}/checkpoints/0")
 
 
