@@ -19,14 +19,18 @@ CONFIGS = {
     "DeepPruner/scene_flow_8x": deeppruner.scene_flow_8x,
     "PSMNet/scene_flow": psmnet.scene_flow,
     "PSMNet/kitti_2015": psmnet.kitti_2015,
+    "PSMNet/kitti_2012": psmnet.kitti_2012,
     "GCNet/scene_flow": gcnet.scene_flow,
     "GCNet/kitti_2015": gcnet.kitti_2015,
+    "GCNet/kitti_2012": gcnet.kitti_2012,
     "StereoNet/scene_flow_8x_2stage": stereonet.scene_flow_8x_2stage,
     "StereoNet/scene_flow_8x_4stage": stereonet.scene_flow_8x_4stage,
     "AcfNet/scene_flow_uniform": acfnet.scene_flow_uniform,
     "AcfNet/scene_flow_adaptive": acfnet.scene_flow_adaptive,
     "AcfNet/kitti_2015_uniform": acfnet.kitti_2015_uniform,
     "AcfNet/kitti_2015_adaptive": acfnet.kitti_2015_adaptive,
+    "AcfNet/kitti_2012_uniform": acfnet.kitti_2012_uniform,
+    "AcfNet/kitti_2012_adaptive": acfnet.kitti_2012_adaptive,
 }
 
 

@@ -44,8 +44,8 @@ def scene_flow_adaptive(**overrides):
     return _apply_overrides(_base(True), overrides)
 
 
-def _kitti(cfg):
-    cfg["data"].update(type="KITTI-2015", sparse=True)
+def _kitti(cfg, dataset_type="KITTI-2015"):
+    cfg["data"].update(type=dataset_type, sparse=True)
     cfg["data"]["eval"]["input_shape"] = (384, 1248)
     cfg["data"]["test"]["input_shape"] = (384, 1248)
     return cfg
@@ -57,3 +57,12 @@ def kitti_2015_uniform(**overrides):
 
 def kitti_2015_adaptive(**overrides):
     return _apply_overrides(_kitti(_base(True)), overrides)
+
+
+def kitti_2012_uniform(**overrides):
+    """KITTI-2012 variant (reference ships the dataset, not the config)."""
+    return _apply_overrides(_kitti(_base(False), "KITTI-2012"), overrides)
+
+
+def kitti_2012_adaptive(**overrides):
+    return _apply_overrides(_kitti(_base(True), "KITTI-2012"), overrides)

@@ -26,9 +26,19 @@ def scene_flow(**overrides):
     return _apply_overrides(_base(), overrides)
 
 
-def kitti_2015(**overrides):
+def _kitti(dataset_type):
     cfg = _base()
-    cfg["data"].update(type="KITTI-2015", sparse=True)
+    cfg["data"].update(type=dataset_type, sparse=True)
     cfg["data"]["eval"]["input_shape"] = (384, 1248)
     cfg["data"]["test"]["input_shape"] = (384, 1248)
-    return _apply_overrides(cfg, overrides)
+    return cfg
+
+
+def kitti_2015(**overrides):
+    return _apply_overrides(_kitti("KITTI-2015"), overrides)
+
+
+def kitti_2012(**overrides):
+    """KITTI-2012 variant (dataset support exists in the reference at
+    dmb/data/datasets/stereo/kitti/kitti_2012.py; no reference config)."""
+    return _apply_overrides(_kitti("KITTI-2012"), overrides)

@@ -67,12 +67,23 @@ def scene_flow(**overrides):
     return _apply_overrides(copy.deepcopy(_BASE), overrides)
 
 
-def kitti_2015(**overrides):
+def _kitti(dataset_type):
     cfg = copy.deepcopy(_BASE)
-    cfg["data"].update(type="KITTI-2015", sparse=True)
+    cfg["data"].update(type=dataset_type, sparse=True)
     cfg["data"]["train"]["input_shape"] = (256, 512)
     cfg["data"]["eval"]["input_shape"] = (384, 1248)
     cfg["data"]["test"]["input_shape"] = (384, 1248)
     cfg["lr_schedule"]["step"] = (100, 300)
     cfg["total_epochs"] = 500
-    return _apply_overrides(cfg, overrides)
+    return cfg
+
+
+def kitti_2015(**overrides):
+    return _apply_overrides(_kitti("KITTI-2015"), overrides)
+
+
+def kitti_2012(**overrides):
+    """KITTI-2012 fine-tune config. The reference ships a Kitti2012Dataset
+    (dmb/data/datasets/stereo/kitti/kitti_2012.py) but no config for it;
+    this mirrors kitti_2015 with the 2012 annotation layout."""
+    return _apply_overrides(_kitti("KITTI-2012"), overrides)
