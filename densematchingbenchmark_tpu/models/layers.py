@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
+from ..ops import conv3d as conv3d_ops
+
 
 def _tuple(x, n):
     if isinstance(x, (tuple, list)):
@@ -71,11 +73,49 @@ class ConvTransposeExact(nn.Module):
         # accumulator output with bf16 operands breaks the transpose rule
         # under grad (the cotangent arrives f32 against bf16 kernels); the
         # MXU still accumulates in f32 internally for bf16 inputs
-        out = lax.conv_general_dilated(
+        if self.dims == 3 and conv3d_ops.use_tapped():
+            out = conv3d_ops.conv3d_transpose_tapped(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                strides=ss, padding=ps, output_padding=ops)
+        else:
+            out = lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1,) * self.dims, padding=pad,
+                lhs_dilation=ss, rhs_dilation=(1,) * self.dims,
+                dimension_numbers=(lhs_spec, rhs_spec, lhs_spec))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias.astype(self.dtype)
+        return out
+
+
+class TappedConv3D(nn.Module):
+    """Drop-in nn.Conv (3-D) replacement using the tap-merged MXU schedule.
+
+    Parameter names/shapes/init match flax nn.Conv ([kd,kh,kw,I,O] "kernel",
+    "bias"), so checkpoints and the torch converter are layout-compatible;
+    ConvUnit instantiates it under the name "Conv_0" to keep module paths
+    identical to the XLA path.
+    """
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Sequence[int] = (1, 1, 1)
+    kernel_dilation: Sequence[int] = (1, 1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            jnp.float32)
+        out = conv3d_ops.conv3d_tapped(
             x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1,) * self.dims, padding=pad,
-            lhs_dilation=ss, rhs_dilation=(1,) * self.dims,
-            dimension_numbers=(lhs_spec, rhs_spec, lhs_spec))
+            strides=tuple(self.strides), padding=tuple(self.padding),
+            dilation=tuple(self.kernel_dilation))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -128,13 +168,21 @@ class ConvUnit(nn.Module):
         else:
             padding, dilation = consistent_padding_with_dilation(
                 self.padding, self.dilation, self.dims)
-            x = nn.Conv(
-                features=self.features,
-                kernel_size=_tuple(self.kernel_size, self.dims),
-                strides=_tuple(self.stride, self.dims),
-                padding=[(p, p) for p in padding],
-                kernel_dilation=dilation, use_bias=self.bias,
-                dtype=self.dtype, param_dtype=jnp.float32)(x)
+            if self.dims == 3 and conv3d_ops.use_tapped():
+                x = TappedConv3D(
+                    features=self.features,
+                    kernel_size=_tuple(self.kernel_size, 3),
+                    strides=_tuple(self.stride, 3), padding=padding,
+                    kernel_dilation=dilation, use_bias=self.bias,
+                    dtype=self.dtype, name="Conv_0")(x)
+            else:
+                x = nn.Conv(
+                    features=self.features,
+                    kernel_size=_tuple(self.kernel_size, self.dims),
+                    strides=_tuple(self.stride, self.dims),
+                    padding=[(p, p) for p in padding],
+                    kernel_dilation=dilation, use_bias=self.bias,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
 
         if not self.pre_norm:
             x = norm(x)
