@@ -90,8 +90,10 @@ class ConvTransposeExact(nn.Module):
         return out
 
 
-class TappedConv3D(nn.Module):
-    """Drop-in nn.Conv (3-D) replacement using the tap-merged MXU schedule.
+class DispatchConv3D(nn.Module):
+    """Drop-in nn.Conv (3-D) replacement routing through conv3d_apply —
+    the globally selected MXU schedule ('auto' picks the per-shape best
+    of direct XLA / dpack / opack; see ops/conv3d.py measurements).
 
     Parameter names/shapes/init match flax nn.Conv ([kd,kh,kw,I,O] "kernel",
     "bias"), so checkpoints and the torch converter are layout-compatible;
@@ -112,7 +114,7 @@ class TappedConv3D(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             tuple(self.kernel_size) + (x.shape[-1], self.features),
             jnp.float32)
-        out = conv3d_ops.conv3d_tapped(
+        out = conv3d_ops.conv3d_apply(
             x.astype(self.dtype), kernel.astype(self.dtype),
             strides=tuple(self.strides), padding=tuple(self.padding),
             dilation=tuple(self.kernel_dilation))
@@ -168,8 +170,8 @@ class ConvUnit(nn.Module):
         else:
             padding, dilation = consistent_padding_with_dilation(
                 self.padding, self.dilation, self.dims)
-            if self.dims == 3 and conv3d_ops.use_tapped():
-                x = TappedConv3D(
+            if self.dims == 3 and conv3d_ops.use_custom():
+                x = DispatchConv3D(
                     features=self.features,
                     kernel_size=_tuple(self.kernel_size, 3),
                     strides=_tuple(self.stride, 3), padding=padding,

@@ -24,6 +24,15 @@ conv3d 15.3 FPS — the [B,D,Ho,Wo,kd*Cout] tap intermediate is kd x the
 output bytes, so the schedule is HBM-bound and loses despite the wider
 lanes. Default is therefore 'xla'; 'tapped' stays as a parity-tested
 library schedule (useful where D is sharded: the 2-D conv needs no D-halo).
+
+A second rewrite, `conv3d_dpack2` ("dpack"), packs D-parity pairs into
+channels instead: the [B,D,H,W,C] volume becomes [B,D/2,H,W,2C] and the
+kd=3 depth contraction becomes a 50%-block-sparse [3,kh,kw,2Ci,2Co]
+channel contraction. Per-op v5e measurements motivating it: XLA runs
+64->64 conv3d at ~137 TF/s but 32->32 at ~16 TF/s and 64->32 at ~17 TF/s
+(output lanes < 128 starve the MXU) — so doubling both channel axes at 2x
+the MAC count is a large net win for every stride-1(D) conv in the
+PSM/Acf/GC/DeepPruner aggregation trunks.
 """
 
 import os
@@ -35,9 +44,9 @@ _IMPL = os.environ.get("DMB_CONV3D_IMPL", "xla")
 
 
 def set_impl(name: str):
-    """Select the global conv3d implementation: 'tapped' or 'xla'."""
+    """Global conv3d implementation: 'auto', 'xla', 'tapped' or 'dpack'."""
     global _IMPL
-    assert name in ("tapped", "xla"), name
+    assert name in ("auto", "tapped", "xla", "dpack"), name
     _IMPL = name
 
 
@@ -47,6 +56,166 @@ def get_impl() -> str:
 
 def use_tapped() -> bool:
     return _IMPL == "tapped"
+
+
+def use_custom() -> bool:
+    """True when ConvUnit should route conv3d through conv3d_apply."""
+    return _IMPL != "xla"
+
+
+def dpack2_applicable(d, kernel_shape, strides, padding, dilation) -> bool:
+    """dpack2 preconditions: kd=3, unit D-stride/dilation, pd=1, even D."""
+    return (kernel_shape[0] == 3 and strides[0] == 1 and padding[0] == 1
+            and dilation[0] == 1 and d % 2 == 0)
+
+
+def _dpack_blocks(pack):
+    """Valid (tap_index tj+1, input slot p, output slot q, depth tap td).
+
+    From x depth index P*(j+tj)+p == output depth P*j+q shifted by td-1:
+    td = P*tj + p - q + 1, kept when td lands in {0,1,2}.
+    """
+    blocks = []
+    for tj in (-1, 0, 1):
+        for p in range(pack):
+            for q in range(pack):
+                td = pack * tj + p - q + 1
+                if 0 <= td <= 2:
+                    blocks.append((tj + 1, p, q, td))
+    return tuple(blocks)
+
+
+def dpack_kernel(kernel, pack):
+    """[3,kh,kw,Ci,Co] -> block-sparse packed [3,kh,kw,P*Ci,P*Co] kernel.
+
+    Built with jnp ops from the live parameter so gradients route back to
+    the true weights; the zero blocks receive (and contribute) nothing.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    kp = jnp.zeros((3, kh, kw, pack * ci, pack * co), kernel.dtype)
+    for tj, p, q, td in _dpack_blocks(pack):
+        kp = kp.at[tj, :, :, p * ci:(p + 1) * ci,
+                   q * co:(q + 1) * co].set(kernel[td])
+    return kp
+
+
+def conv3d_dpack(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
+                 dilation=(1, 1, 1), pack=4):
+    """conv3d with `pack` consecutive D slices packed into channels.
+
+    Requires dpack2_applicable(...) plus D % pack == 0. H/W
+    stride/padding/dilation are free (they pass through to the packed
+    conv unchanged). Semantics == lax.conv_general_dilated with symmetric
+    per-axis padding; the depth-boundary zero padding is provided by the
+    packed tap padding of 1 (each packed pad tap supplies `pack` zero
+    slices; only x[-1] and x[D] are actually referenced).
+    """
+    b, d, h, w, ci = x.shape
+    kd, kh, kw, _, co = kernel.shape
+    assert d % pack == 0, (d, pack)
+    assert dpack2_applicable(d, kernel.shape, strides, padding, dilation), (
+        x.shape, kernel.shape, strides, padding, dilation)
+    _, sh, sw = strides
+    _, ph, pw = padding
+    _, dh, dw = dilation
+
+    xp = x.reshape(b, d // pack, pack, h, w, ci)
+    xp = jnp.moveaxis(xp, 2, 4).reshape(b, d // pack, h, w, pack * ci)
+    kp = dpack_kernel(kernel, pack)
+    yp = lax.conv_general_dilated(
+        xp, kp, window_strides=(1, sh, sw),
+        padding=[(1, 1), (ph, ph), (pw, pw)],
+        rhs_dilation=(1, dh, dw),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ho, wo = yp.shape[2], yp.shape[3]
+    y = jnp.moveaxis(yp.reshape(b, d // pack, ho, wo, pack, co), 4, 2)
+    return y.reshape(b, d, ho, wo, co)
+
+
+def conv3d_dpack2(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
+                  dilation=(1, 1, 1)):
+    """Pack-2 specialization of conv3d_dpack (kept for the test suite)."""
+    return conv3d_dpack(x, kernel, strides, padding, dilation, pack=2)
+
+
+def conv3d_opack(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
+                 dilation=(1, 1, 1), pack=4):
+    """conv3d with `pack` consecutive OUTPUT D slices packed into channels.
+
+    The kd=3 conv becomes one [pack+2, kh, kw, Ci, pack*Co] conv with
+    D-stride `pack`: output block q of the widened channel axis holds
+    depth slice P*j+q, fed by original taps td at widened depth tap q+td.
+    Unlike conv3d_dpack the input is NOT packed (no relayout on the way
+    in), MAC overhead is (pack+2)/3 instead of pack, and the output lane
+    count becomes pack*Co — the fix for Cout-starved MXU lanes (measured
+    v5e: 64->32 full-volume 1.5x over direct XLA with pack=4).
+
+    Requires kd=3, sd=1, pd=1, dd=1, D % pack == 0.
+    """
+    b, d, h, w, ci = x.shape
+    kd, kh, kw, _, co = kernel.shape
+    assert d % pack == 0, (d, pack)
+    assert dpack2_applicable(d, kernel.shape, strides, padding, dilation), (
+        x.shape, kernel.shape, strides, padding, dilation)
+    _, sh, sw = strides
+    _, ph, pw = padding
+    _, dh, dw = dilation
+
+    kp = jnp.zeros((pack + 2, kh, kw, ci, pack * co), kernel.dtype)
+    for q in range(pack):
+        for td in range(3):
+            kp = kp.at[q + td, :, :, :, q * co:(q + 1) * co].set(kernel[td])
+    yp = lax.conv_general_dilated(
+        x, kp, window_strides=(pack, sh, sw),
+        padding=[(1, 1), (ph, ph), (pw, pw)],
+        rhs_dilation=(1, dh, dw),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ho, wo = yp.shape[2], yp.shape[3]
+    y = jnp.moveaxis(yp.reshape(b, d // pack, ho, wo, pack, co), 4, 2)
+    return y.reshape(b, d, ho, wo, co)
+
+
+def conv3d_auto(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
+                dilation=(1, 1, 1)):
+    """Per-shape best conv3d schedule (v5e measurements, module docstring).
+
+    Dispatch, for stride-1-D kd=3 convs on an accelerator backend:
+      - Cout == 1 (classify heads), D % 8 == 0 -> dpack8   (2.4x isolated)
+      - otherwise                              -> direct XLA conv
+    opack4 measured 1.5x ISOLATED on 64->32 but loses in-model (it breaks
+    XLA's pad/concat producer fusion and adds an unpack relayout), so it
+    stays library-only. On CPU (tests) always direct XLA — the packed
+    forms are exact but pointlessly slower there.
+    """
+    import jax
+
+    d, ci, co = x.shape[1], x.shape[-1], kernel.shape[-1]
+    ok = (jax.default_backend() != "cpu"
+          and dpack2_applicable(d, kernel.shape, strides, padding, dilation))
+    if ok and co == 1 and d % 8 == 0:
+        return conv3d_dpack(x, kernel, strides, padding, dilation, pack=8)
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=strides,
+        padding=[(p, p) for p in padding], rhs_dilation=dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv3d_apply(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
+                 dilation=(1, 1, 1)):
+    """Apply conv3d under the globally selected implementation."""
+    if _IMPL == "tapped":
+        return conv3d_tapped(x, kernel, strides, padding, dilation)
+    if _IMPL == "dpack":
+        d = x.shape[1]
+        if dpack2_applicable(d, kernel.shape, strides, padding, dilation):
+            return conv3d_dpack(x, kernel, strides, padding, dilation,
+                                pack=4 if d % 4 == 0 else 2)
+    if _IMPL == "auto":
+        return conv3d_auto(x, kernel, strides, padding, dilation)
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=strides,
+        padding=[(p, p) for p in padding], rhs_dilation=dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 def conv3d_tapped(x, kernel, strides, padding, dilation=(1, 1, 1)):

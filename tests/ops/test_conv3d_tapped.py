@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from densematchingbenchmark_tpu.ops.conv3d import (
-    conv3d_tapped, conv3d_transpose_tapped)
+    conv3d_tapped, conv3d_transpose_tapped, conv3d_dpack, conv3d_opack)
 
 
 def _ref_conv3d(x, k, strides, padding, dilation):
@@ -73,6 +73,64 @@ def test_conv3d_transpose_tapped_parity():
                                          want.shape)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
                                    err_msg=str((ks, ss, ps, ops)))
+
+
+PACK_CASES = [
+    # (D, H, W, Ci, Co, strides, padding, dilation) — sd=1/pd=1/kd=3 only
+    (8, 6, 7, 4, 5, (1, 1, 1), (1, 1, 1), (1, 1, 1)),
+    (8, 9, 8, 3, 2, (1, 2, 2), (1, 1, 1), (1, 1, 1)),   # H/W stride free
+    (16, 6, 7, 4, 1, (1, 1, 1), (1, 2, 2), (1, 2, 2)),  # classify + dilated
+]
+
+
+def test_conv3d_dpack_parity():
+    rng = np.random.RandomState(4)
+    for pack in (2, 4, 8):
+        for d, h, w, ci, co, ss, ps, ds in PACK_CASES:
+            if d % pack:
+                continue
+            x = jnp.asarray(rng.randn(2, d, h, w, ci), jnp.float32)
+            k = jnp.asarray(rng.randn(3, 3, 3, ci, co) * 0.2, jnp.float32)
+            got = conv3d_dpack(x, k, ss, ps, ds, pack=pack)
+            want = _ref_conv3d(x, k, ss, ps, ds)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"dpack{pack} {ss} {ps} {ds}")
+
+
+def test_conv3d_opack_parity():
+    rng = np.random.RandomState(5)
+    for pack in (2, 4, 8):
+        for d, h, w, ci, co, ss, ps, ds in PACK_CASES:
+            if d % pack:
+                continue
+            x = jnp.asarray(rng.randn(2, d, h, w, ci), jnp.float32)
+            k = jnp.asarray(rng.randn(3, 3, 3, ci, co) * 0.2, jnp.float32)
+            got = conv3d_opack(x, k, ss, ps, ds, pack=pack)
+            want = _ref_conv3d(x, k, ss, ps, ds)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"opack{pack} {ss} {ps} {ds}")
+
+
+def test_conv3d_packed_grads():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 8, 5, 5, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 4) * 0.2, jnp.float32)
+
+    def f_ref(x, k):
+        return jnp.sum(_ref_conv3d(x, k, (1, 1, 1), (1, 1, 1),
+                                   (1, 1, 1)) ** 2)
+
+    gr = jax.grad(f_ref, argnums=(0, 1))(x, k)
+    for name, fn in (("dpack", conv3d_dpack), ("opack", conv3d_opack)):
+        def f(x, k, fn=fn):
+            return jnp.sum(fn(x, k, (1, 1, 1), (1, 1, 1), (1, 1, 1),
+                              pack=4) ** 2)
+        gp = jax.grad(f, argnums=(0, 1))(x, k)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                       err_msg=name)
 
 
 def test_conv3d_tapped_grad():
