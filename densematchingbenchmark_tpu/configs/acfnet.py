@@ -17,7 +17,9 @@ def _base(adaptive):
         cost_processor=dict(
             type="Concatenation",
             cost_computation=dict(max_disp=48, start_disp=0, dilation=1),
-            cost_aggregator=dict(type="AcfNet", max_disp=192, in_planes=64),
+            # pack=4: trunk-packed MXU schedule (see configs/psmnet.py)
+            cost_aggregator=dict(type="AcfNet", max_disp=192, in_planes=64,
+                                 pack=4),
         ),
         losses=dict(
             l1_loss=dict(max_disp=192, weights=(1.0, 0.7, 0.5), weight=0.1),

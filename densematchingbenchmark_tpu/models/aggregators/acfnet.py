@@ -12,42 +12,65 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..layers import conv3d_bn, conv3d_bn_relu, Hourglass3D, ConvTransposeExact
+from ..layers import (ConvUnit, DispatchConv3D, Hourglass3D,
+                      ConvTransposeExact)
+from ...ops.conv3d import pack_volume, unpack_volume
 
 
 class AcfAggregator(nn.Module):
     max_disp: int = 192
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    # Trunk-packed MXU schedule, same as PSMAggregator.pack (ops/conv3d.py):
+    # pack the raw volume once, run every trunk conv 128-lane, unpack the
+    # three 1-channel costs before the learned deconv upsampling.
+    pack: int = 0
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
         bn, dt = self.batch_norm, self.dtype
+        b, d, h, w, c = raw_cost.shape
+        pk = self.pack if self.pack and self.pack > 1 else 1
+        if pk > 1 and (d % (4 * pk) != 0 or h % 4 or w % 4):
+            pk = 1  # safe fallback: same params, unpacked schedule
+        if pk > 1:
+            raw_cost = pack_volume(raw_cost, pk)
 
-        cost0 = conv3d_bn_relu(bn, 32, 3, 1, 1, dtype=dt)(raw_cost, train)
-        cost0 = conv3d_bn_relu(bn, 32, 3, 1, 1, dtype=dt)(cost0, train)
-        dres1 = conv3d_bn_relu(bn, 32, 3, 1, 1, dtype=dt)(cost0, train)
-        dres1 = conv3d_bn(bn, 32, 3, 1, 1, dtype=dt)(dres1, train)
+        def unit(features, relu=True):
+            return ConvUnit(features, 3, 1, 1, dims=3, batch_norm=bn,
+                            relu=relu, dtype=dt, pack=pk)
+
+        cost0 = unit(32)(raw_cost, train)
+        cost0 = unit(32)(cost0, train)
+        dres1 = unit(32)(cost0, train)
+        dres1 = unit(32, relu=False)(dres1, train)
         cost0 = dres1 + cost0
 
-        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt)(
+        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             cost0, None, None, train=train)
         out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt)(
+        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             out1, pre1, post1, train=train)
         out2 = out2 + cost0
-        out3, _, _ = Hourglass3D(32, bn, dtype=dt)(
+        out3, _, _ = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             out2, pre2, post2, train=train)
         out3 = out3 + cost0
 
-        def classify(x):
-            x = conv3d_bn_relu(bn, 32, 3, 1, 1, dtype=dt)(x, train)
+        def classify(x, i):
+            x = unit(32)(x, train)
+            if pk > 1:
+                return DispatchConv3D(
+                    1, (3, 3, 3), padding=(1, 1, 1), use_bias=False,
+                    dtype=dt, pack=pk, name=f"Conv_{i}")(x)
             return nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=dt,
-                           param_dtype=jnp.float32)(x)
+                           param_dtype=jnp.float32, name=f"Conv_{i}")(x)
 
-        cost1 = classify(out1)
-        cost2 = classify(out2) + cost1
-        cost3 = classify(out3) + cost2
+        cost1 = classify(out1, 0)
+        cost2 = classify(out2, 1) + cost1
+        cost3 = classify(out3, 2) + cost2
+        if pk > 1:
+            cost1, cost2, cost3 = (unpack_volume(x, pk)
+                                   for x in (cost1, cost2, cost3))
 
         def up(x):
             # ConvTranspose3d(1, 1, 8, 4, 2): out = (in-1)*4 - 4 + 8 = 4*in

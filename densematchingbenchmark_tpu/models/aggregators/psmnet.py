@@ -13,7 +13,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..layers import conv3d_bn, conv3d_bn_relu, Hourglass3D
+from ..layers import ConvUnit, DispatchConv3D, Hourglass3D
+from ...ops.conv3d import pack_volume, unpack_volume
 from ...ops.interpolate import upsample_3d
 
 
@@ -26,39 +27,59 @@ class PSMAggregator(nn.Module):
     # fuses upsample+soft-argmin in a Pallas kernel (eval) or upsamples
     # with XLA (train).
     return_low_res: bool = False
+    # pack > 1: run the whole trunk in the D-packed layout (pack the raw
+    # volume once, block-sparse packed kernels throughout, unpack the three
+    # 1-channel classified costs at the end). Same params as pack<=1 — a
+    # pure MXU schedule change, ~1.5-2x per conv on v5e
+    # (tools/microbench_conv3d_packed.py). Requires (max_disp/4) % (4*pack)
+    # == 0 (two stride-2 levels inside the hourglasses).
+    pack: int = 0
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
         bn, dt = self.batch_norm, self.dtype
         b, d, h, w, c = raw_cost.shape
+        pk = self.pack if self.pack and self.pack > 1 else 1
+        if pk > 1 and (d % (4 * pk) != 0 or h % 4 or w % 4):
+            pk = 1  # safe fallback: same params, unpacked schedule
+        if pk > 1:
+            raw_cost = pack_volume(raw_cost, pk)
 
-        cost0 = conv3d_bn_relu(bn, 32, 3, 1, 1, bias=False, dtype=dt)(
-            raw_cost, train)
-        cost0 = conv3d_bn_relu(bn, 32, 3, 1, 1, bias=False, dtype=dt)(
-            cost0, train)
-        dres1 = conv3d_bn_relu(bn, 32, 3, 1, 1, bias=False, dtype=dt)(
-            cost0, train)
-        dres1 = conv3d_bn(bn, 32, 3, 1, 1, bias=False, dtype=dt)(dres1, train)
+        def unit(features, relu=True):
+            return ConvUnit(features, 3, 1, 1, dims=3, batch_norm=bn,
+                            relu=relu, bias=False, dtype=dt, pack=pk)
+
+        cost0 = unit(32)(raw_cost, train)
+        cost0 = unit(32)(cost0, train)
+        dres1 = unit(32)(cost0, train)
+        dres1 = unit(32, relu=False)(dres1, train)
         cost0 = dres1 + cost0
 
-        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt)(
+        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             cost0, None, None, train=train)
         out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt)(
+        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             out1, pre1, post1, train=train)
         out2 = out2 + cost0
-        out3, _, _ = Hourglass3D(32, bn, dtype=dt)(
+        out3, _, _ = Hourglass3D(32, bn, dtype=dt, pack=pk)(
             out2, pre2, post2, train=train)
         out3 = out3 + cost0
 
-        def classify(x):
-            x = conv3d_bn_relu(bn, 32, 3, 1, 1, bias=False, dtype=dt)(x, train)
+        def classify(x, i):
+            x = unit(32)(x, train)
+            if pk > 1:
+                return DispatchConv3D(
+                    1, (3, 3, 3), padding=(1, 1, 1), use_bias=False,
+                    dtype=dt, pack=pk, name=f"Conv_{i}")(x)
             return nn.Conv(1, (3, 3, 3), padding=1, use_bias=False, dtype=dt,
-                           param_dtype=jnp.float32)(x)
+                           param_dtype=jnp.float32, name=f"Conv_{i}")(x)
 
-        cost1 = classify(out1)
-        cost2 = classify(out2) + cost1
-        cost3 = classify(out3) + cost2
+        cost1 = classify(out1, 0)
+        cost2 = classify(out2, 1) + cost1
+        cost3 = classify(out3, 2) + cost2
+        if pk > 1:
+            cost1, cost2, cost3 = (unpack_volume(x, pk)
+                                   for x in (cost1, cost2, cost3))
 
         if self.return_low_res:
             return [cost3[..., 0], cost2[..., 0], cost1[..., 0]]

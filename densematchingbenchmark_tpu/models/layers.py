@@ -39,6 +39,49 @@ def consistent_padding_with_dilation(padding, dilation, dims):
     return padding, dilation
 
 
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over the TRUE channel axis of a packed volume.
+
+    Input [B, R, H, W, pack*C] in the trunk-packed layout (packed channel
+    p*C+c is true channel c at depth offset p). Variable names, shapes and
+    semantics match flax nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+    dtype=f32) on the unpacked [B, D, H, W, C] volume exactly — scale/bias
+    params and mean/var batch_stats are all (C,) — so a checkpoint trained
+    unpacked runs packed and vice versa (instantiate with name="BatchNorm_0"
+    to keep module paths identical).
+    """
+    pack: int
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp):
+        c = xp.shape[-1] // self.pack
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = xp.astype(jnp.float32).reshape(
+                xp.shape[:-1] + (self.pack, c))
+            axes = tuple(range(xf.ndim - 1))  # all but true-channel
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        tile = lambda v: jnp.tile(v, self.pack)
+        inv = tile(scale) * lax.rsqrt(tile(var) + self.epsilon)
+        return (xp.astype(jnp.float32) - tile(mean)) * inv + tile(bias)
+
+
 class ConvTransposeExact(nn.Module):
     """Transposed conv with torch ConvTranspose{2,3}d shape semantics.
 
@@ -55,6 +98,9 @@ class ConvTransposeExact(nn.Module):
     dims: int = 3
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # pack > 1: input/output are trunk-packed [B, R, H, W, pack*C] volumes
+    # (ops/conv3d.py); only the k3/s2/p1/op1 3-D case is supported packed.
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -62,9 +108,34 @@ class ConvTransposeExact(nn.Module):
         ss = _tuple(self.stride, self.dims)
         ps = _tuple(self.padding, self.dims)
         ops = _tuple(self.output_padding, self.dims)
+        in_features = x.shape[-1] // self.pack
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
-            ks + (x.shape[-1], self.features), jnp.float32)
+            ks + (in_features, self.features), jnp.float32)
+        if self.pack > 1:
+            assert self.dims == 3 and ks == (3, 3, 3) and ss == (2, 2, 2) \
+                and ps == (1, 1, 1) and ops == (1, 1, 1), (
+                    ks, ss, ps, ops)
+            out = conv3d_ops.conv3d_transpose_packed(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.pack)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                out = out + jnp.tile(bias, self.pack).astype(self.dtype)
+            return out
+        if (self.dims == 3 and self.features == 1 and in_features == 1
+                and ks == (8, 8, 8) and ss == (4, 4, 4) and ps == (2, 2, 2)
+                and ops == (0, 0, 0)):
+            # AcfNet's 1-channel 4x cost upsampler: the direct lhs-dilated
+            # lowering is pathological on TPU (C=1 minor dim tile-pads
+            # 256x in HBM); use the 64-phase lowering (ops/conv3d.py).
+            out = conv3d_ops.conv3d_transpose_c1_phase(
+                x.astype(self.dtype), kernel.astype(self.dtype))[..., None]
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (1,), jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out
         pad = [(k - 1 - p, k - 1 - p + op)
                for k, p, op in zip(ks, ps, ops)]
         lhs_spec = "N" + "DHW"[3 - self.dims:] + "C"
@@ -107,21 +178,32 @@ class DispatchConv3D(nn.Module):
     kernel_dilation: Sequence[int] = (1, 1, 1)
     use_bias: bool = True
     dtype: Any = jnp.float32
+    pack: int = 1  # > 1: trunk-packed input/output (ops/conv3d.py)
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            tuple(self.kernel_size) + (x.shape[-1] // self.pack,
+                                       self.features),
             jnp.float32)
-        out = conv3d_ops.conv3d_apply(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            strides=tuple(self.strides), padding=tuple(self.padding),
-            dilation=tuple(self.kernel_dilation))
+        if self.pack > 1:
+            out = conv3d_ops.conv3d_packed(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.pack,
+                strides=tuple(self.strides), padding=tuple(self.padding),
+                dilation=tuple(self.kernel_dilation))
+        else:
+            out = conv3d_ops.conv3d_apply(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                strides=tuple(self.strides), padding=tuple(self.padding),
+                dilation=tuple(self.kernel_dilation))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            out = out + bias.astype(self.dtype)
+            if self.pack > 1:
+                out = out + jnp.tile(bias, self.pack).astype(self.dtype)
+            else:
+                out = out + bias.astype(self.dtype)
         return out
 
 
@@ -145,6 +227,10 @@ class ConvUnit(nn.Module):
     transpose: bool = False
     output_padding: int = 0
     dtype: Any = jnp.float32
+    # pack > 1: this unit's input/output live in the trunk-packed layout
+    # [B, D/pack, H, W, pack*C]; conv/deconv/BN all apply packed with
+    # variable names/shapes identical to the unpacked unit.
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -153,6 +239,10 @@ class ConvUnit(nn.Module):
         def norm(h):
             if not self.batch_norm:
                 return h
+            if self.pack > 1:
+                return PackedBatchNorm(
+                    pack=self.pack, use_running_average=not train,
+                    name="BatchNorm_0")(h).astype(self.dtype)
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32, axis_name=None)(h).astype(self.dtype)
@@ -166,17 +256,18 @@ class ConvUnit(nn.Module):
                 features=self.features, kernel_size=self.kernel_size,
                 stride=self.stride, padding=self.padding,
                 output_padding=self.output_padding, dims=self.dims,
-                use_bias=self.bias, dtype=self.dtype)(x)
+                use_bias=self.bias, dtype=self.dtype, pack=self.pack,
+                name="ConvTransposeExact_0")(x)
         else:
             padding, dilation = consistent_padding_with_dilation(
                 self.padding, self.dilation, self.dims)
-            if self.dims == 3 and conv3d_ops.use_custom():
+            if self.dims == 3 and (self.pack > 1 or conv3d_ops.use_custom()):
                 x = DispatchConv3D(
                     features=self.features,
                     kernel_size=_tuple(self.kernel_size, 3),
                     strides=_tuple(self.stride, 3), padding=padding,
                     kernel_dilation=dilation, use_bias=self.bias,
-                    dtype=self.dtype, name="Conv_0")(x)
+                    dtype=self.dtype, pack=self.pack, name="Conv_0")(x)
             else:
                 x = nn.Conv(
                     features=self.features,
@@ -323,29 +414,32 @@ class Hourglass3D(nn.Module):
     features: int  # C of the input volume
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    pack: int = 1  # > 1: all tensors in trunk-packed layout (ops/conv3d.py)
 
     @nn.compact
     def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
         c2 = self.features * 2
-        out = conv3d_bn_relu(self.batch_norm, c2, 3, 2, 1, bias=False,
-                             dtype=self.dtype)(x, train)           # 1/2
-        pre = conv3d_bn(self.batch_norm, c2, 3, 1, 1, bias=False,
-                        dtype=self.dtype)(out, train)
+        bn, dt, pk = self.batch_norm, self.dtype, self.pack
+
+        def unit(features, stride=1, relu=True, transpose=False):
+            return ConvUnit(features, 3, stride, 1, dims=3, batch_norm=bn,
+                            relu=relu, bias=False, transpose=transpose,
+                            output_padding=1 if transpose else 0,
+                            dtype=dt, pack=pk)
+
+        out = unit(c2, stride=2)(x, train)                          # 1/2
+        pre = unit(c2, relu=False)(out, train)
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
 
-        out = conv3d_bn_relu(self.batch_norm, c2, 3, 2, 1, bias=False,
-                             dtype=self.dtype)(pre, train)         # 1/4
-        out = conv3d_bn_relu(self.batch_norm, c2, 3, 1, 1, bias=False,
-                             dtype=self.dtype)(out, train)
+        out = unit(c2, stride=2)(pre, train)                        # 1/4
+        out = unit(c2)(out, train)
 
-        up1 = deconv3d_bn(self.batch_norm, c2, 3, 2, 1, output_padding=1,
-                          bias=False, dtype=self.dtype)(out, train)  # 1/2
-        post = nn.relu(up1 + (presqu if presqu is not None else pre))
+        up1 = unit(c2, stride=2, relu=False, transpose=True)(out, train)
+        post = nn.relu(up1 + (presqu if presqu is not None else pre))  # 1/2
 
-        out = deconv3d_bn(self.batch_norm, self.features, 3, 2, 1,
-                          output_padding=1, bias=False,
-                          dtype=self.dtype)(post, train)             # 1/1
+        out = unit(self.features, stride=2, relu=False,
+                   transpose=True)(post, train)                     # 1/1
         return out, pre, post

@@ -138,6 +138,179 @@ def conv3d_dpack2(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
     return conv3d_dpack(x, kernel, strides, padding, dilation, pack=2)
 
 
+# ---------------------------------------------------------------------------
+# Trunk-packed schedule: the whole 3-D aggregation trunk runs on tensors that
+# stay in the packed layout [B, D/P, H, W, P*C] end-to-end (pack once at the
+# raw cost volume, unpack only the tiny classify outputs). This removes the
+# per-conv relayouts that make DMB_CONV3D_IMPL=dpack lose end-to-end, and
+# turns every lane-starved 32-channel conv into a >=128-lane conv. Measured
+# per-op on v5e at PSMNet trunk shapes (tools/microbench_conv3d_packed.py,
+# P=4, bf16): 32->32 s1 5.8ms -> 3.0ms; 64->32 s1 10.3 -> 6.0; s2 32->64
+# 3.4 -> 1.7; deconv 64->32 2.1 -> 1.4; classify 32->1 5.8 -> 3.0.
+#
+# Index algebra (P = pack, row r = packed depth index, slot p/q in [0,P)):
+#   stride-1 conv  (kd=3,pd=1):   window 3, pad (1,1):
+#       td = P*(tj-1) + p - q + 1                      (dpack_kernel)
+#   stride-2 conv  (kd=3,sd=2,pd=1): window 4, row-stride 2, pad (1,1):
+#       td = P*(r_off-1) + p - 2q + 1                  (dpack_kernel_s2)
+#   deconv (k3,s2,p1,op1): window 3, lhs_dilation 2, pad (1,2):
+#       td = P*(t_hat-1) + 2p - q + 1                  (dpack_kernel_transpose)
+# Each mapping keeps exactly the blocks with td in {0,1,2}; zero blocks cost
+# MXU MACs but no accuracy — that overhead is what the wider lanes pay for.
+
+
+def pack_volume(x, pack):
+    """[B, D, H, W, C] -> packed [B, D/pack, H, W, pack*C]."""
+    b, d, h, w, c = x.shape
+    assert d % pack == 0, (d, pack)
+    xp = x.reshape(b, d // pack, pack, h, w, c)
+    return jnp.moveaxis(xp, 2, 4).reshape(b, d // pack, h, w, pack * c)
+
+
+def unpack_volume(xp, pack):
+    """Packed [B, R, H, W, pack*C] -> [B, R*pack, H, W, C]."""
+    b, r, h, w, pc = xp.shape
+    assert pc % pack == 0, (pc, pack)
+    c = pc // pack
+    x = xp.reshape(b, r, h, w, pack, c)
+    return jnp.moveaxis(x, 4, 2).reshape(b, r * pack, h, w, c)
+
+
+def dpack_kernel_s2(kernel, pack):
+    """[3,kh,kw,Ci,Co] -> packed stride-2(D) kernel [4,kh,kw,P*Ci,P*Co].
+
+    Output depth P*jo+q reads input depths 2(P*jo+q)+td-1, which span the
+    4 packed rows 2jo-1..2jo+2; apply with window_strides[0]=2 and D-pad
+    (1,1). Valid blocks: td = P*(r_off-1) + p - 2q + 1 in {0,1,2}.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3, kd
+    kp = jnp.zeros((4, kh, kw, pack * ci, pack * co), kernel.dtype)
+    for r_off in range(4):
+        for p in range(pack):
+            for q in range(pack):
+                td = pack * (r_off - 1) + p - 2 * q + 1
+                if 0 <= td <= 2:
+                    kp = kp.at[r_off, :, :, p * ci:(p + 1) * ci,
+                               q * co:(q + 1) * co].set(kernel[td])
+    return kp
+
+
+def dpack_kernel_transpose(kernel, pack):
+    """[3,kh,kw,Ci,Co] -> packed deconv(k3,s2,p1,op1) kernel [3,..,P*,P*].
+
+    Matches ConvTransposeExact semantics (kernel not flipped): unpacked
+    out[od] = sum_t x[(od-1+t)/2] K[t]. On packed rows: window 3 with
+    lhs_dilation 2 and pad (1,2); block (t_hat, p, q) holds true tap
+    t = P*(t_hat-1) + 2p - q + 1 when in {0,1,2}.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3, kd
+    kp = jnp.zeros((3, kh, kw, pack * ci, pack * co), kernel.dtype)
+    for th in range(3):
+        for p in range(pack):
+            for q in range(pack):
+                t = pack * (th - 1) + 2 * p - q + 1
+                if 0 <= t <= 2:
+                    kp = kp.at[th, :, :, p * ci:(p + 1) * ci,
+                               q * co:(q + 1) * co].set(kernel[t])
+    return kp
+
+
+def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
+                  dilation=(1, 1, 1)):
+    """conv3d on a PACKED volume [B, R, H, W, P*Ci] -> packed output.
+
+    Supports the PSM-trunk cases: kd=3, pd=1, dd=1, D-stride 1 or 2 (H/W
+    stride/padding/dilation are unconstrained). Semantically identical to
+    lax.conv_general_dilated on the unpacked volume.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    sd, sh, sw = strides
+    pd, ph, pw = padding
+    dd, dh, dw = dilation
+    assert kd == 3 and pd == 1 and dd == 1 and sd in (1, 2), (
+        kernel.shape, strides, padding, dilation)
+    assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
+    if sd == 1:
+        kp = dpack_kernel(kernel, pack)
+        dpad = (1, 1)
+    else:
+        assert xp.shape[1] % 2 == 0, xp.shape
+        kp = dpack_kernel_s2(kernel, pack)
+        dpad = (1, 1)
+    return lax.conv_general_dilated(
+        xp, kp, window_strides=(sd, sh, sw),
+        padding=[dpad, (ph, ph), (pw, pw)], rhs_dilation=(1, dh, dw),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv3d_transpose_packed(xp, kernel, pack):
+    """ConvTranspose3d(k=3, s=2, p=1, output_padding=1) on a packed volume.
+
+    [B, R, H, W, P*Ci] -> [B, 2R, 2H', 2W', P*Co] with ConvTransposeExact
+    shape semantics per axis (out = 2*in).
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert (kd, kh, kw) == (3, 3, 3), kernel.shape
+    assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
+    kp = dpack_kernel_transpose(kernel, pack)
+    return lax.conv_general_dilated(
+        xp, kp, window_strides=(1, 1, 1),
+        padding=[(1, 2), (1, 2), (1, 2)], lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def conv3d_transpose_c1_phase(x, kernel):
+    """ConvTranspose3d(1->1, k=8, s=4, p=2, op=0) as a 64-phase conv.
+
+    AcfNet's learned 4x cost upsampler (reference aggregators/AcfNet.py:56-58
+    deconv1..3) applied to [B, D, H, W, 1] via lhs-dilation is pathological
+    on TPU: the [B, 4D, 4H, 4W, 1] output's C=1 minor dim gets padded to the
+    (8,128) tile -> a 256x HBM blowup (measured: a 184 MB bf16 volume
+    allocated 47 GB at 384x1248), plus a 1-wide MXU contraction. This
+    lowering computes the 64 output phases (out = 4*in per axis; each phase
+    is a 2-tap-per-axis subset of the 8^3 kernel) as ONE [3,3,3,1,64] conv
+    with 64 output lanes, then interleaves phases into [B, 4D, 4H, 4W]
+    (4-D output: no 1-channel minor dim anywhere).
+
+    Semantics == ConvTransposeExact (unflipped kernel, lhs_dilation=4,
+    pad (5,5)): out[4j+r] = sum_w x[j-1+w] K[4(w-1) + 5 - r], taps kept
+    when in [0, 8). Returns [B, 4D, 4H, 4W].
+    """
+    assert kernel.shape[-2:] == (1, 1) and kernel.shape[:3] == (8, 8, 8), (
+        kernel.shape)
+    if x.ndim == 5:
+        assert x.shape[-1] == 1, x.shape
+        x = x[..., 0]
+    b, d, h, w = x.shape
+    k3 = kernel[..., 0, 0]  # [8,8,8]
+
+    # per-axis tap index t[w_off, r] = 4*(w_off-1) + 5 - r, masked to [0,8)
+    w_off = jnp.arange(3)[:, None]
+    r = jnp.arange(4)[None, :]
+    t = 4 * (w_off - 1) + 5 - r                     # [3,4]
+    valid = (t >= 0) & (t < 8)
+    t = jnp.clip(t, 0, 7)
+
+    td = t[:, None, None, :, None, None]
+    th = t[None, :, None, None, :, None]
+    tw = t[None, None, :, None, None, :]
+    vd = valid[:, None, None, :, None, None]
+    vh = valid[None, :, None, None, :, None]
+    vw = valid[None, None, :, None, None, :]
+    kp = k3[td, th, tw] * (vd & vh & vw)            # [3,3,3,4,4,4]
+    kp = kp.reshape(3, 3, 3, 1, 64).astype(x.dtype)
+
+    yp = lax.conv_general_dilated(
+        x[..., None], kp, window_strides=(1, 1, 1),
+        padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # [B,D,H,W,64]
+    y = yp.reshape(b, d, h, w, 4, 4, 4)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
+    return y.reshape(b, 4 * d, 4 * h, 4 * w)
+
+
 def conv3d_opack(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
                  dilation=(1, 1, 1), pack=4):
     """conv3d with `pack` consecutive OUTPUT D slices packed into channels.

@@ -1,0 +1,118 @@
+"""Parity: trunk-packed PSMAggregator == unpacked, sharing one param tree.
+
+The packed trunk (PSMAggregator(pack=P)) is a pure MXU schedule change:
+identical variable names/shapes, different conv lowering (ops/conv3d.py
+packed kernels). Reference semantics target:
+dmb/modeling/stereo/cost_processors/aggregators/PSMNet.py:9-95.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from densematchingbenchmark_tpu.models.aggregators.psmnet import PSMAggregator
+from densematchingbenchmark_tpu.models.aggregators.acfnet import AcfAggregator
+
+
+def _mk(pack, return_low_res=True):
+    return PSMAggregator(max_disp=64, batch_norm=True, dtype=jnp.float32,
+                         return_low_res=return_low_res, pack=pack)
+
+
+@pytest.mark.parametrize("pack", [2, 4])
+def test_packed_psm_aggregator_eval_parity(pack):
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randn(1, 16, 8, 12, 16), jnp.float32)
+    ref_mod, packed_mod = _mk(0), _mk(pack)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    pvars = packed_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    # identical variable trees (names, shapes, dtypes)
+    ref_tree = jax.tree.map(lambda x: (x.shape, x.dtype), variables)
+    packed_tree = jax.tree.map(lambda x: (x.shape, x.dtype), pvars)
+    assert ref_tree == packed_tree
+
+    ref = ref_mod.apply(variables, raw, train=False)
+    got = packed_mod.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_psm_aggregator_train_parity():
+    """Train mode: outputs AND updated BN batch_stats match unpacked."""
+    rng = np.random.RandomState(1)
+    raw = jnp.asarray(rng.randn(2, 16, 8, 12, 16), jnp.float32)
+    ref_mod, packed_mod = _mk(0), _mk(4)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+
+    ref, ref_state = ref_mod.apply(variables, raw, train=True,
+                                   mutable=["batch_stats"])
+    got, got_state = packed_mod.apply(variables, raw, train=True,
+                                      mutable=["batch_stats"])
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(ref_state)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_state))
+    assert len(flat_r) == len(flat_g) > 0
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(np.asarray(flat_g[path]),
+                                   np.asarray(leaf), rtol=1e-4, atol=1e-4,
+                                   err_msg=str(path))
+
+
+def test_packed_psm_aggregator_grads():
+    """Gradients through the packed schedule are finite and match unpacked."""
+    rng = np.random.RandomState(2)
+    raw = jnp.asarray(rng.randn(1, 16, 8, 8, 8), jnp.float32)
+    ref_mod, packed_mod = _mk(0), _mk(4)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+
+    def loss(params, mod):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            raw, train=True, mutable=["batch_stats"])
+        return sum(jnp.mean(jnp.square(c)) for c in out)
+
+    lr, gr = jax.value_and_grad(loss)(variables["params"], ref_mod)
+    lp, gp = jax.value_and_grad(loss)(variables["params"], packed_mod)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(gr)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for path, leaf in flat_r:
+        assert np.isfinite(np.asarray(flat_g[path])).all(), path
+        np.testing.assert_allclose(np.asarray(flat_g[path]),
+                                   np.asarray(leaf), rtol=2e-3, atol=2e-4,
+                                   err_msg=str(path))
+
+
+def test_packed_acf_aggregator_eval_parity():
+    rng = np.random.RandomState(3)
+    raw = jnp.asarray(rng.randn(1, 16, 8, 12, 16), jnp.float32)
+    ref_mod = AcfAggregator(max_disp=64, pack=0)
+    packed_mod = AcfAggregator(max_disp=64, pack=4)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    pvars = packed_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    assert (jax.tree.map(lambda x: (x.shape, x.dtype), variables)
+            == jax.tree.map(lambda x: (x.shape, x.dtype), pvars))
+    ref = ref_mod.apply(variables, raw, train=False)
+    got = packed_mod.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_fallback_when_not_divisible():
+    """max_disp/4 not divisible by 4*pack -> silently runs unpacked."""
+    rng = np.random.RandomState(4)
+    raw = jnp.asarray(rng.randn(1, 8, 8, 8, 16), jnp.float32)  # d=8 % 16 != 0
+    mod = PSMAggregator(max_disp=32, return_low_res=True, pack=4)
+    variables = mod.init(jax.random.PRNGKey(0), raw, train=False)
+    ref = PSMAggregator(max_disp=32, return_low_res=True, pack=0).apply(
+        variables, raw, train=False)
+    got = mod.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
