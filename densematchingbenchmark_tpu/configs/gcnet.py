@@ -12,7 +12,12 @@ def _base():
         cost_processor=dict(
             type="Concatenation",
             cost_computation=dict(max_disp=96, start_disp=0, dilation=1),
-            cost_aggregator=dict(type="GCNet", max_disp=192, in_planes=64),
+            # pack=2: trunk-packed MXU schedule (ops/conv3d.py). Besides the
+            # per-conv speedup, packing is what makes full-res (384x1248)
+            # GCNet compile at all on v5e: the unpacked 1-channel
+            # ConvTranspose output tile-pads 128x in HBM and OOMs.
+            cost_aggregator=dict(type="GCNet", max_disp=192, in_planes=64,
+                                 pack=2),
         ),
         losses=dict(
             l1_loss=dict(max_disp=192, weights=(1.0,), weight=1.0),

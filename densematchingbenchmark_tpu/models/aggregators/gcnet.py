@@ -11,7 +11,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..layers import conv3d_bn_relu, deconv3d_bn_relu, ConvTransposeExact
+from ..layers import ConvUnit, ConvTransposeExact
+from ...ops.conv3d import pack_volume, unpack_volume, concat_packed
 
 
 class GCAggregator(nn.Module):
@@ -19,33 +20,49 @@ class GCAggregator(nn.Module):
     in_planes: int = 64  # channels of the raw concat volume
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    # Trunk-packed MXU schedule (ops/conv3d.py; see PSMAggregator.pack).
+    # pack=2 is the divisibility-safe choice here: the 4 stride-2 stages
+    # need even packed-row counts, i.e. (max_disp/2) % (16*pack) == 0.
+    pack: int = 0
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
         bn, dt = self.batch_norm, self.dtype
         f = self.in_planes // 2
+        b, d, h, w, _ = raw_cost.shape
+        pk = self.pack if self.pack and self.pack > 1 else 1
+        if pk > 1 and (d % (16 * pk) != 0 or h % 16 or w % 16):
+            pk = 1  # safe fallback: same params, unpacked schedule
+        if pk > 1:
+            raw_cost = pack_volume(raw_cost, pk)
 
         def conv(features, stride=1):
-            return conv3d_bn_relu(bn, features, 3, stride, 1, bias=False,
-                                  dtype=dt)
+            return ConvUnit(features, 3, stride, 1, dims=3, batch_norm=bn,
+                            relu=True, bias=False, dtype=dt, pack=pk)
 
         def deconv(features):
-            return deconv3d_bn_relu(bn, features, 3, 2, 1, output_padding=1,
-                                    bias=False, dtype=dt)
+            return ConvUnit(features, 3, 2, 1, dims=3, batch_norm=bn,
+                            relu=True, bias=False, transpose=True,
+                            output_padding=1, dtype=dt, pack=pk)
+
+        def cat(a, b):
+            if pk > 1:
+                return concat_packed([a, b], pk)
+            return jnp.concatenate([a, b], -1)
 
         c18 = raw_cost
         c19 = conv(f)(c18, train)
         c20 = conv(f)(c19, train)
-        c21 = conv(f * 2, 2)(jnp.concatenate([c18, c20], -1), train)  # 1/4
+        c21 = conv(f * 2, 2)(cat(c18, c20), train)  # 1/4
         c22 = conv(f * 2)(c21, train)
         c23 = conv(f * 2)(c22, train)
-        c24 = conv(f * 2, 2)(jnp.concatenate([c21, c23], -1), train)  # 1/8
+        c24 = conv(f * 2, 2)(cat(c21, c23), train)  # 1/8
         c25 = conv(f * 2)(c24, train)
         c26 = conv(f * 2)(c25, train)
-        c27 = conv(f * 2, 2)(jnp.concatenate([c24, c26], -1), train)  # 1/16
+        c27 = conv(f * 2, 2)(cat(c24, c26), train)  # 1/16
         c28 = conv(f * 2)(c27, train)
         c29 = conv(f * 2)(c28, train)
-        c30 = conv(f * 4, 2)(jnp.concatenate([c27, c29], -1), train)  # 1/32
+        c30 = conv(f * 4, 2)(cat(c27, c29), train)  # 1/32
         c31 = conv(f * 4)(c30, train)
         c32 = conv(f * 4)(c31, train)
 
@@ -54,7 +71,10 @@ class GCAggregator(nn.Module):
         c35 = deconv(f * 2)(c34 + c26, train)
         c36 = deconv(f)(c35 + c23, train)
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
-                                 dtype=dt)(c36 + c20)
+                                 dtype=dt, pack=pk,
+                                 name="ConvTransposeExact_0")(c36 + c20)
+        if pk > 1:
+            c37 = unpack_volume(c37, pk)
         # stays in compute dtype: the full-res volume is HBM-bound and the
         # soft-argmin upcasts to f32 internally
         return [c37[..., 0]]

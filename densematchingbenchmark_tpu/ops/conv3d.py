@@ -176,6 +176,20 @@ def unpack_volume(xp, pack):
     return jnp.moveaxis(x, 4, 2).reshape(b, r * pack, h, w, c)
 
 
+def concat_packed(xs, pack):
+    """Channel-concat packed volumes, preserving slot-major packed layout.
+
+    pack_volume(concat(a, b)) interleaves channels per depth slot; a plain
+    jnp.concatenate of packed tensors would instead produce [a-slots,
+    b-slots] ordering that packed kernels don't expect. This reorders via a
+    lane shuffle (reshape to [..., P, C], concat, flatten).
+    """
+    parts = [x.reshape(x.shape[:-1] + (pack, x.shape[-1] // pack))
+             for x in xs]
+    y = jnp.concatenate(parts, -1)
+    return y.reshape(y.shape[:-2] + (y.shape[-2] * y.shape[-1],))
+
+
 def dpack_kernel_s2(kernel, pack):
     """[3,kh,kw,Ci,Co] -> packed stride-2(D) kernel [4,kh,kw,P*Ci,P*Co].
 

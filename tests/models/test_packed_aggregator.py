@@ -116,3 +116,44 @@ def test_packed_fallback_when_not_divisible():
     got = mod.apply(variables, raw, train=False)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_packed_gc_aggregator_eval_parity():
+    from densematchingbenchmark_tpu.models.aggregators.gcnet import (
+        GCAggregator)
+    rng = np.random.RandomState(5)
+    # depth 32 = max_disp/2; needs depth % 32 == 0 for pack=2 (4 s2 stages)
+    raw = jnp.asarray(rng.randn(1, 32, 16, 16, 8), jnp.float32)
+    ref_mod = GCAggregator(max_disp=64, in_planes=8, pack=0)
+    packed_mod = GCAggregator(max_disp=64, in_planes=8, pack=2)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    pvars = packed_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    assert (jax.tree.map(lambda x: (x.shape, x.dtype), variables)
+            == jax.tree.map(lambda x: (x.shape, x.dtype), pvars))
+    ref = ref_mod.apply(variables, raw, train=False)
+    got = packed_mod.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_packed_gc_aggregator_train_parity():
+    from densematchingbenchmark_tpu.models.aggregators.gcnet import (
+        GCAggregator)
+    rng = np.random.RandomState(6)
+    raw = jnp.asarray(rng.randn(1, 32, 16, 16, 8), jnp.float32)
+    ref_mod = GCAggregator(max_disp=64, in_planes=8, pack=0)
+    packed_mod = GCAggregator(max_disp=64, in_planes=8, pack=2)
+    variables = ref_mod.init(jax.random.PRNGKey(0), raw, train=False)
+    ref, ref_state = ref_mod.apply(variables, raw, train=True,
+                                   mutable=["batch_stats"])
+    got, got_state = packed_mod.apply(variables, raw, train=True,
+                                      mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-4)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_state))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_state):
+        np.testing.assert_allclose(np.asarray(flat_g[path]),
+                                   np.asarray(leaf), rtol=1e-4, atol=1e-4,
+                                   err_msg=str(path))
