@@ -41,7 +41,10 @@ def bench_one(name, h, w, dtype, iters):
     cfg = get_config(name, **{"model.dtype": dtype})
     model = build_model(cfg)
     left = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), left, left, train=False)
+    # init at a small spatial shape (params/stats are shape-independent):
+    # full-res eager init can OOM (unfused 1-channel intermediates)
+    small = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), small, small, train=False)
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(variables["params"]))
 
@@ -127,12 +130,16 @@ def main():
 
     rows = []
     for name in args.models:
+        # the reference benches DeepPruner at 384x1280 (ResultOfDeepPruner.md
+        # "Model Info"); its Fast backbone needs W % 32 == 0
+        width = 1280 if name.startswith("DeepPruner") and args.width == 1248 \
+            else args.width
         try:
             if args.train:
-                row = bench_train(name, args.height, args.width, args.batch,
+                row = bench_train(name, args.height, width, args.batch,
                                   args.dtype, args.iters)
             else:
-                row = bench_one(name, args.height, args.width, args.dtype,
+                row = bench_one(name, args.height, width, args.dtype,
                                 args.iters)
         except Exception as e:  # keep benching the rest
             row = dict(model=name, error=f"{type(e).__name__}: {e}")
