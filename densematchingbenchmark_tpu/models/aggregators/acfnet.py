@@ -25,6 +25,8 @@ class AcfAggregator(nn.Module):
     # pack the raw volume once, run every trunk conv 128-lane, unpack the
     # three 1-channel costs before the learned deconv upsampling.
     pack: int = 0
+    # Per-hourglass rematerialization; see PSMAggregator.remat.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
@@ -46,14 +48,18 @@ class AcfAggregator(nn.Module):
         dres1 = unit(32, relu=False)(dres1, train)
         cost0 = dres1 + cost0
 
-        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            cost0, None, None, train=train)
+        hg_cls = (nn.remat(Hourglass3D, static_argnums=(4,))
+                  if self.remat else Hourglass3D)
+
+        def hourglass(i):
+            return hg_cls(32, bn, dtype=dt, pack=pk,
+                          name=f"Hourglass3D_{i}")
+
+        out1, pre1, post1 = hourglass(0)(cost0, None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            out1, pre1, post1, train=train)
+        out2, pre2, post2 = hourglass(1)(out1, pre1, post1, train)
         out2 = out2 + cost0
-        out3, _, _ = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            out2, pre2, post2, train=train)
+        out3, _, _ = hourglass(2)(out2, pre2, post2, train)
         out3 = out3 + cost0
 
         def classify(x, i):

@@ -34,6 +34,14 @@ class PSMAggregator(nn.Module):
     # (tools/microbench_conv3d_packed.py). Requires (max_disp/4) % (4*pack)
     # == 0 (two stride-2 levels inside the hourglasses).
     pack: int = 0
+    # remat: rematerialize each hourglass in the backward pass
+    # (jax.checkpoint per block). Peak training activation memory drops from
+    # "all hourglass internals" to "one hourglass's internals + the block
+    # boundaries", trading ~one extra trunk forward per step — the policy
+    # that buys larger per-chip batches (reference analog: none; it ran
+    # batch 3/GPU, SURVEY §2.13). Param tree names are unchanged (explicit
+    # names below), so checkpoints are interchangeable across this knob.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
@@ -55,14 +63,18 @@ class PSMAggregator(nn.Module):
         dres1 = unit(32, relu=False)(dres1, train)
         cost0 = dres1 + cost0
 
-        out1, pre1, post1 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            cost0, None, None, train=train)
+        hg_cls = (nn.remat(Hourglass3D, static_argnums=(4,))
+                  if self.remat else Hourglass3D)
+
+        def hourglass(i):
+            return hg_cls(32, bn, dtype=dt, pack=pk,
+                          name=f"Hourglass3D_{i}")
+
+        out1, pre1, post1 = hourglass(0)(cost0, None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            out1, pre1, post1, train=train)
+        out2, pre2, post2 = hourglass(1)(out1, pre1, post1, train)
         out2 = out2 + cost0
-        out3, _, _ = Hourglass3D(32, bn, dtype=dt, pack=pk)(
-            out2, pre2, post2, train=train)
+        out3, _, _ = hourglass(2)(out2, pre2, post2, train)
         out3 = out3 + cost0
 
         def classify(x, i):

@@ -1,0 +1,71 @@
+"""Remat policy parity: PSMAggregator(remat=True) == remat=False.
+
+Per-hourglass rematerialization (jax.checkpoint via nn.remat) is a pure
+memory/compute trade for training: identical param tree (explicit names keep
+checkpoints interchangeable), identical outputs, identical gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from densematchingbenchmark_tpu.models.aggregators.psmnet import PSMAggregator
+from densematchingbenchmark_tpu.models.aggregators.acfnet import AcfAggregator
+
+
+def _mk(cls, remat):
+    return cls(max_disp=64, batch_norm=True, dtype=jnp.float32,
+               return_low_res=True, remat=remat) if cls is PSMAggregator \
+        else cls(max_disp=64, batch_norm=True, dtype=jnp.float32, remat=remat)
+
+
+def _grads(mod, variables, raw):
+    def loss(params):
+        out, upd = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            raw, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(jnp.square(c)) for c in out), upd["batch_stats"]
+
+    (val, bs), g = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"])
+    return val, bs, g
+
+
+def test_remat_param_tree_and_grads_identical():
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randn(1, 16, 8, 12, 16), jnp.float32)
+    base, rem = _mk(PSMAggregator, False), _mk(PSMAggregator, True)
+    variables = base.init(jax.random.PRNGKey(0), raw, train=False)
+    rvars = rem.init(jax.random.PRNGKey(0), raw, train=False)
+    assert (jax.tree.map(lambda x: (x.shape, str(x.dtype)), variables)
+            == jax.tree.map(lambda x: (x.shape, str(x.dtype)), rvars))
+
+    v0, bs0, g0 = _grads(base, variables, raw)
+    v1, bs1, g1 = _grads(rem, variables, raw)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+    # Remat recomputes the forward segment under a different XLA fusion
+    # schedule, so gradients match to float32 accumulation noise, not bitwise.
+    for (p0, l0), (p1, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=3e-4, atol=5e-4)
+    for (p0, l0), (p1, l1) in zip(
+            jax.tree_util.tree_leaves_with_path(bs0),
+            jax.tree_util.tree_leaves_with_path(bs1)):
+        assert p0 == p1
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l0),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_remat_acf_eval_parity():
+    rng = np.random.RandomState(1)
+    raw = jnp.asarray(rng.randn(1, 16, 8, 12, 16), jnp.float32)
+    base, rem = _mk(AcfAggregator, False), _mk(AcfAggregator, True)
+    variables = base.init(jax.random.PRNGKey(0), raw, train=False)
+    ref = base.apply(variables, raw, train=False)
+    got = rem.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-6)
