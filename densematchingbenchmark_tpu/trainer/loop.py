@@ -6,6 +6,7 @@ prefetches host batches, every step is one jit call, evaluation runs
 per-epoch on-device, checkpoints are orbax TrainStates.
 """
 
+import os
 import time
 
 import numpy as np
@@ -25,8 +26,14 @@ from .train_step import make_train_step
 
 def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
                   resume=False, log_interval=10, max_steps=None,
-                  mesh=None, use_volume_sharding=False):
-    """Train a model per config. Returns the final TrainState."""
+                  mesh=None, use_volume_sharding=False, profile_steps=None):
+    """Train a model per config. Returns the final TrainState.
+
+    profile_steps: optional (start, stop) global step numbers; a JAX
+    profiler trace of those steps is written to <work_dir>/profile
+    (viewable in TensorBoard / xprof). First-class tracing the reference
+    lacks (SURVEY §5: its profiling was ad-hoc thop+wall-clock in tests).
+    """
     logger = get_logger(work_dir)
     metrics_log = MetricsLogger(work_dir)
     from ..utils.collect_env import collect_env_info, device_memory_stats
@@ -92,6 +99,9 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
 
     total_epochs = cfg.get("total_epochs", 10)
     done = False
+    prof_start, prof_stop = profile_steps or (None, None)
+    prof_dir = os.path.join(work_dir, "profile")
+    profiling = False
 
     def device_batches(epoch):
         """Host batches -> sharded device batches with 1-deep prefetch:
@@ -113,12 +123,24 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
         t0 = time.perf_counter()
         for batch in device_batches(epoch):
             t1 = time.perf_counter()
+            step_num = int(state.step) + 1
+            if prof_start is not None and step_num == prof_start \
+                    and not profiling:
+                jax.profiler.start_trace(prof_dir)
+                profiling = True
             state, metrics = step_fn(state, batch)
-            step_num = int(state.step)
+            if profiling and step_num >= prof_stop:
+                jax.tree.map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"profiler trace of steps "
+                            f"{prof_start}..{step_num} -> {prof_dir}")
             if step_num % log_interval == 0 or step_num == 1:
                 metrics = jax.device_get(metrics)
                 t2 = time.perf_counter()
                 t_data, t_step = t1 - t0, t2 - t1
+                fps = global_batch / max(t_step, 1e-9)
                 lr = float(schedule(step_num))
                 mem = device_memory_stats()
                 peak = max((v["peak_bytes_in_use"] for v in mem.values()),
@@ -127,8 +149,10 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
                 logger.info(
                     f"epoch {epoch+1}/{total_epochs} step {step_num} "
                     f"lr {lr:.2e} loss {float(metrics['loss']):.4f} "
-                    f"data {t_data*1e3:.0f}ms step {t_step*1e3:.0f}ms"
-                    f"{mem_str}")
+                    f"data {t_data*1e3:.0f}ms step {t_step*1e3:.0f}ms "
+                    f"({fps:.1f} samples/s){mem_str}")
+                metrics = dict(metrics)
+                metrics["throughput"] = fps
                 metrics_log.log(step_num, metrics, prefix="train/")
             t0 = time.perf_counter()
             if max_steps is not None and step_num >= max_steps:
@@ -158,5 +182,7 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
         if done:
             break
 
+    if profiling:  # trace window ran past the last step
+        jax.profiler.stop_trace()
     metrics_log.close()
     return state

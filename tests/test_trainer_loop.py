@@ -63,3 +63,21 @@ def test_train_loop_runs_checkpoints_and_resumes(tmp_path):
     # metrics log written
     import os
     assert os.path.exists(os.path.join(work, "metrics.log.json"))
+
+
+def test_train_loop_profiler_trace_and_throughput(tmp_path):
+    """profile_steps writes an xplane trace; throughput is logged."""
+    import json
+    import os
+    work = str(tmp_path / "prof")
+    cfg = tiny_cfg(tmp_path)
+    mesh = make_mesh((1, 1), devices=jax.devices()[:1])
+    train_matcher(cfg, work, train_dataset=make_ds(), max_steps=3,
+                  mesh=mesh, log_interval=1, profile_steps=(2, 3))
+    prof_dir = os.path.join(work, "profile")
+    traces = [os.path.join(root, f)
+              for root, _, files in os.walk(prof_dir) for f in files]
+    assert traces, "profiler trace directory is empty"
+    with open(f"{work}/metrics.log.json") as fp:
+        records = [json.loads(l) for l in fp]
+    assert any("train/throughput" in r for r in records)

@@ -39,6 +39,9 @@ def parse_args():
                    choices=["float32", "bfloat16"])
     p.add_argument("--override", nargs="*", default=[],
                    help="dotted config overrides, e.g. model.max_disp=96")
+    p.add_argument("--profile", default=None, metavar="START:STOP",
+                   help="JAX-profiler-trace global steps START..STOP "
+                        "(e.g. 5:8) to <work-dir>/profile")
     return p.parse_args()
 
 
@@ -64,6 +67,10 @@ def main():
         overrides["model.dtype"] = args.dtype
     cfg = get_config(args.config, **overrides)
     cfg["seed"] = args.seed
+    profile_steps = None
+    if args.profile:
+        start, _, stop = args.profile.partition(":")
+        profile_steps = (int(start), int(stop or start))
 
     if args.synthetic:
         maxd = cfg["model"]["max_disp"]
@@ -80,7 +87,8 @@ def main():
         ds.transform = transforms.make_train_transform(
             (256, 512), cfg["data"]["mean"], cfg["data"]["std"])
         train_matcher(cfg, args.work_dir, train_dataset=ds,
-                      resume=args.resume, max_steps=args.max_steps)
+                      resume=args.resume, max_steps=args.max_steps,
+                      profile_steps=profile_steps)
         return
 
     assert args.data_root and args.annfile, \
@@ -90,7 +98,7 @@ def main():
     if args.eval_annfile:
         cfg["data"]["eval"]["annfile"] = args.eval_annfile
     train_matcher(cfg, args.work_dir, resume=args.resume,
-                  max_steps=args.max_steps)
+                  max_steps=args.max_steps, profile_steps=profile_steps)
 
 
 if __name__ == "__main__":
