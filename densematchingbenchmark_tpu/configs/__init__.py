@@ -12,8 +12,10 @@ from . import stereonet
 from . import acfnet
 from . import anynet
 from . import deeppruner
+from . import pwcflow
 
 CONFIGS = {
+    "PWCFlow/flying_chairs": pwcflow.flying_chairs,
     "AnyNet/scene_flow": anynet.scene_flow,
     "DeepPruner/scene_flow_4x": deeppruner.scene_flow_4x,
     "DeepPruner/scene_flow_8x": deeppruner.scene_flow_8x,

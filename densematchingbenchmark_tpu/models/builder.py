@@ -104,6 +104,9 @@ def build_model(cfg, mesh=None):
     model_cfg = cfg["model"]
     dtype = _DTYPES[model_cfg.get("dtype", "float32")]
     arch = model_cfg.get("meta_architecture", "GeneralizedStereoModel")
+    if cfg.get("task") == "flow":
+        from ..flow.models import build_flow_model
+        return build_flow_model(cfg)
     if arch == "GeneralizedStereoModel":
         # Pallas-fused upsample+soft-argmin: only valid when the model
         # doesn't need the full-res cost volume elsewhere (no cmn) and the

@@ -22,6 +22,7 @@ Design notes (vs. the reference):
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from .warp import inverse_warp_3d
 
@@ -144,3 +145,33 @@ def correlation1d_volume(reference_fm, target_fm, max_disp, start_disp=0,
         warped, _ = inverse_warp_3d(target_fm, disp_sample)
         cost = jnp.sum(reference_fm[:, None] * warped, axis=-1)
     return jnp.where(cost >= 0, cost, cost * leaky_slope)
+
+
+def correlation2d_volume(reference_fm, target_fm, radius, dilation=1):
+    """Local 2-D correlation volume for optical flow.
+
+    cost[b, y, x, k] = mean_c(ref[b,y,x,c] * tgt[b, y+dy, x+dx, c]) for the
+    (2*radius+1)^2 displacements (dy, dx) in row-major order, dy/dx in
+    {-radius*dilation, ..., +radius*dilation} step ``dilation``; zero where
+    the displaced sample falls outside the frame.
+
+    The displacement axis lands in the minor (lane) dimension — e.g. 81
+    lanes at radius 4 — so the downstream 2-D aggregation convs contract a
+    lane-aligned axis on the MXU. This is the 2-D generalization of
+    :func:`correlation1d_volume` (which replaces the reference's CUDA
+    `spatial_correlation_sampler`); the reference registers no flow models,
+    so this exceeds its capability.
+
+    Returns:
+      [B, H, W, (2*radius+1)^2].
+    """
+    b, h, w, c = reference_fm.shape
+    r = radius * dilation
+    padded = jnp.pad(target_fm, ((0, 0), (r, r), (r, r), (0, 0)))
+    slices = []
+    for dy in range(-r, r + 1, dilation):
+        for dx in range(-r, r + 1, dilation):
+            shifted = lax.dynamic_slice(
+                padded, (0, r + dy, r + dx, 0), (b, h, w, c))
+            slices.append(jnp.mean(reference_fm * shifted, axis=-1))
+    return jnp.stack(slices, axis=-1)

@@ -78,3 +78,37 @@ def local_soft_argmin(cost_volume, max_disp, radius, start_disp=0, dilation=1,
     prob = jax.nn.softmax(masked, axis=1)
     disp_vals = start_disp + clipped.astype(cost_volume.dtype) * dilation
     return jnp.sum(prob * disp_vals, axis=1)[..., None]
+
+
+def soft_argmax_2d(score_volume, radius, dilation=1, normalizer=1.0):
+    """Soft-argmax flow regression over a local 2-D displacement window.
+
+    The flow analog of :func:`soft_argmin`: softmax over the displacement
+    axis (the minor lane axis produced by
+    ``ops.cost_volume.correlation2d_volume``), then the expectation against
+    the (dx, dy) displacement grid. Differentiable; the reference registers
+    no flow models (dmb/modeling/flow/models/__init__.py:2-4) so this is a
+    capability extension, designed in the framework's cost->softmax->
+    expectation idiom.
+
+    Args:
+      score_volume: [B, H, W, (2*radius+1)^2] matching scores, displacement
+        axis row-major in (dy, dx).
+      radius: window radius in samples.
+      dilation: displacement step in pixels.
+      normalizer: temperature divisor applied before the softmax.
+
+    Returns:
+      [B, H, W, 2] expected (u, v) displacement in pixels.
+    """
+    n = 2 * radius + 1
+    assert score_volume.shape[-1] == n * n, (score_volume.shape, radius)
+    prob = jax.nn.softmax(
+        score_volume.astype(jnp.float32) / normalizer, axis=-1)
+    offs = jnp.arange(-radius * dilation, radius * dilation + 1, dilation,
+                      dtype=jnp.float32)
+    dx = jnp.tile(offs, n)                      # row-major: dx varies fastest
+    dy = jnp.repeat(offs, n)
+    u = jnp.sum(prob * dx, axis=-1)
+    v = jnp.sum(prob * dy, axis=-1)
+    return jnp.stack([u, v], axis=-1)

@@ -132,3 +132,33 @@ def inverse_warp_3d(fm, disp_sample, compat_grid_sample=False):
     warped = gather_1d_linear(src, xs[..., None], axis=3)
     valid = ((xs >= 0) & (xs <= w - 1)).astype(fm.dtype)[..., None]
     return warped, valid
+
+
+def flow_warp(img, flow):
+    """Warp ``img`` backward by a 2-D optical-flow field.
+
+    out[b, y, x, c] = img[b, y + flow[b,y,x,1], x + flow[b,y,x,0], c] with
+    bilinear interpolation and zero padding outside the frame (the flow
+    analog of :func:`inverse_warp_2d`; the reference ships no flow models so
+    there is no parity target — this extends dmb's flow scaffolding,
+    dmb/modeling/flow/models/__init__.py:2-4).
+
+    Bilinear interpolation is separable, so the warp is two chained 1-D
+    linear gathers (W then H) — each lowers to a pair of
+    ``take_along_axis`` dynamic-gathers on TPU, with exact piecewise-linear
+    gradients.
+
+    Args:
+      img: [B, H, W, C] source image/features (frame t+1 for backward warp).
+      flow: [B, H, W, 2] (u, v) displacement in pixels.
+
+    Returns:
+      [B, H, W, C] warped image.
+    """
+    b, h, w, c = img.shape
+    u = flow[..., 0]
+    v = flow[..., 1]
+    xs = jnp.arange(w, dtype=flow.dtype)[None, None, :] + u   # [B, H, W]
+    ys = jnp.arange(h, dtype=flow.dtype)[None, :, None] + v   # [B, H, W]
+    out = gather_1d_linear(img, xs[..., None], axis=2)
+    return gather_1d_linear(out, ys[..., None], axis=1)

@@ -53,6 +53,12 @@ def test_flow_transforms_fix_values():
     np.testing.assert_allclose(scaled["flow"], 2.0, atol=1e-5)
 
 
-def test_flow_registry_empty():
-    with pytest.raises(ValueError, match="registry is empty"):
-        build_flow_model({"model": {"meta_architecture": "PWCNet"}})
+def test_flow_registry():
+    # Unknown architectures raise; PWCFlow is registered (the reference's
+    # registry is empty — dmb/modeling/flow/models/__init__.py:2-4 — so any
+    # registered flow model exceeds its capability).
+    with pytest.raises(ValueError, match="no flow meta-architecture"):
+        build_flow_model({"model": {"meta_architecture": "NoSuchNet"}})
+    from densematchingbenchmark_tpu.flow.models import (
+        FLOW_META_ARCHITECTURES)
+    assert "PWCFlow" in FLOW_META_ARCHITECTURES
