@@ -142,8 +142,20 @@ DATASETS = {
 
 def build_dataset(data_cfg, split, transform=None):
     """data_cfg: cfg['data']; split: 'train' | 'eval' | 'test' | 'vis'."""
-    cls = DATASETS[data_cfg["type"]]
     split_cfg = data_cfg.get(split, {})
+    if data_cfg["type"] in ("FlyingChairs", "SyntheticFlow"):
+        # flow datasets live in the flow package (lazy import: flow.datasets
+        # imports data.io, so data.datasets must not import it at top level)
+        from ..flow.datasets import FlyingChairsDataset, SyntheticFlowDataset
+        if data_cfg["type"] == "SyntheticFlow":
+            return SyntheticFlowDataset(
+                transform=transform,
+                **{k: v for k, v in split_cfg.items()
+                   if k in ("length", "height", "width", "max_flow", "seed")})
+        return FlyingChairsDataset(ann_file=split_cfg["annfile"],
+                                   root=data_cfg["data_root"],
+                                   transform=transform)
+    cls = DATASETS[data_cfg["type"]]
     if cls is SyntheticStereoDataset:
         return cls(transform=transform,
                    **{k: v for k, v in split_cfg.items()

@@ -73,3 +73,33 @@ def normalize(sample, mean, std):
         out[k] = (sample[k] - np.asarray(mean, np.float32)) / \
             np.asarray(std, np.float32)
     return out
+
+
+def pad_to(sample, size):
+    """Bottom/right zero-pad images and flow to ``size`` (flow padded with
+    NaN so the loss/metrics mask it out)."""
+    th, tw = size
+    h, w = sample["leftImage"].shape[:2]
+    assert th >= h and tw >= w, ((h, w), size)
+    out = dict(sample)
+    for k in _IMG_KEYS:
+        out[k] = np.pad(sample[k], ((0, th - h), (0, tw - w), (0, 0)))
+    if sample.get("flow") is not None:
+        out["flow"] = np.pad(sample["flow"],
+                             ((0, th - h), (0, tw - w), (0, 0)),
+                             constant_values=np.nan)
+    return out
+
+
+def make_train_transform(input_shape, mean, std):
+    def apply(sample, rng):
+        sample = random_crop(sample, input_shape, rng)
+        return normalize(sample, mean, std)
+    return apply
+
+
+def make_eval_transform(input_shape, mean, std):
+    def apply(sample, rng=None):
+        sample = pad_to(sample, input_shape)
+        return normalize(sample, mean, std)
+    return apply

@@ -69,3 +69,34 @@ def make_eval_step(model):
             batch["leftImage"], batch["rightImage"], train=False)
 
     return jax.jit(step)
+
+
+def make_flow_train_step(model, tx, weights, donate=True):
+    """Flow-task train step: same jit/GSPMD shape as make_train_step, with
+    the multi-scale flow loss (the reference has no flow training at all —
+    its flow registry is empty)."""
+    from ..flow.losses import flow_l1_loss
+
+    def step(state, batch):
+        new_rng, _ = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["leftImage"], batch["rightImage"], train=True,
+                mutable=["batch_stats"])
+            loss_dict = flow_l1_loss(out["flows"], batch["flow"], weights)
+            return total_loss(loss_dict), (loss_dict,
+                                           updates["batch_stats"])
+
+        (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, tx, new_batch_stats=new_bs,
+                                          new_rng=new_rng)
+        metrics = {"loss": loss, **loss_dict,
+                   "grad_norm": jnp.sqrt(sum(
+                       jnp.sum(jnp.square(g))
+                       for g in jax.tree.leaves(grads)))}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
