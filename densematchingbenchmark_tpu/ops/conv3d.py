@@ -238,6 +238,15 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
     Supports the PSM-trunk cases: kd=3, pd=1, dd=1, D-stride 1 or 2 (H/W
     stride/padding/dilation are unconstrained). Semantically identical to
     lax.conv_general_dilated on the unpacked volume.
+
+    Per-class schedule dispatch (v5e, tools/microbench_conv3d_packed.py
+    --round3): 1-channel classify heads route to the H-opacked form
+    (3.0 -> 1.9 ms at the PSMNet trunk shape; lanes P -> hq*P); stride-1
+    convs whose input is at least twice the output channel count route to
+    the halo form (6.0 -> 4.7 ms for 64->32: its dense-MAC count is
+    (P+2)/3 x true instead of P x, which beats the extra halo traffic once
+    Ci is large). Env overrides: DMB_PACKED_CLASSIFY=win3 / DMB_PACKED_S1=
+    win3|hpack force a single schedule (A/B testing).
     """
     kd, kh, kw, ci, co = kernel.shape
     sd, sh, sw = strides
@@ -246,6 +255,18 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
     assert kd == 3 and pd == 1 and dd == 1 and sd in (1, 2), (
         kernel.shape, strides, padding, dilation)
     assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
+    s1_plain = (strides == (1, 1, 1) and padding == (1, 1, 1)
+                and dilation == (1, 1, 1) and (kh, kw) == (3, 3))
+    if (co == 1 and s1_plain
+            and os.environ.get("DMB_PACKED_CLASSIFY", "hq") != "win3"):
+        h = xp.shape[2]
+        for hq in (32, 16, 8):
+            if h % hq == 0:
+                return conv3d_packed_classify(xp, kernel, pack, hq)
+    s1_impl = os.environ.get("DMB_PACKED_S1", "auto")
+    if sd == 1 and (s1_impl == "hpack"
+                    or (s1_impl == "auto" and ci >= 2 * co)):
+        return conv3d_hpack(xp, kernel, pack, strides, padding, dilation)
     if sd == 1:
         kp = dpack_kernel(kernel, pack)
         dpad = (1, 1)
@@ -273,6 +294,142 @@ def conv3d_transpose_packed(xp, kernel, pack):
         xp, kp, window_strides=(1, 1, 1),
         padding=[(1, 2), (1, 2), (1, 2)], lhs_dilation=(2, 2, 2),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def halo_widen(xp, pack, ci):
+    """Packed [B,R,H,W,P*Ci] -> halo-widened [B,R,H,W,(P+2)*Ci].
+
+    Row r's channels become depth slots P*r-1 .. P*r+P (one halo slot from
+    each neighboring packed row; zeros at the volume boundary) so a kd=3
+    pd=1 depth contraction needs no D window at all (conv3d_hpack).
+    """
+    assert xp.shape[-1] == pack * ci, (xp.shape, pack, ci)
+    zrow = jnp.zeros_like(xp[:, :1, ..., :ci])
+    prev = jnp.concatenate([zrow, xp[:, :-1, ..., (pack - 1) * ci:]], 1)
+    nxt = jnp.concatenate([xp[:, 1:, ..., :ci], zrow], 1)
+    return jnp.concatenate([prev, xp, nxt], -1)
+
+
+def hpack_kernel(kernel, pack):
+    """[3,kh,kw,Ci,Co] -> halo-packed 2-D kernel [kh,kw,(P+2)*Ci,P*Co].
+
+    Output slot q takes taps td in {0,1,2} from halo slot q+td (halo index
+    h = true slot + 1). Density 3/(P+2): the dense contraction does
+    (P+2)/3 x the true MACs — 2x at P=4, versus 4x for the window-3
+    dpack_kernel form, at the same P*Co output lanes.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3, kd
+    kp = jnp.zeros((kh, kw, (pack + 2) * ci, pack * co), kernel.dtype)
+    for q in range(pack):
+        for td in range(3):
+            h = q + td
+            kp = kp.at[:, :, h * ci:(h + 1) * ci,
+                       q * co:(q + 1) * co].set(kernel[td])
+    return kp
+
+
+def conv3d_hpack(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
+                 dilation=(1, 1, 1)):
+    """Stride-1(D) conv3d on a packed volume via halo widening + 2-D conv.
+
+    Same contract as conv3d_packed with sd == 1 (kd=3, pd=1, dd=1), but the
+    depth taps are folded into the input channel axis: the packed rows are
+    halo-widened to (P+2)*Ci channels and ONE 2-D conv over (H, W) applies
+    the banded [kh,kw,(P+2)Ci,P*Co] kernel. Halves the dense-MAC overhead
+    of the window-3 packed form (2x true MACs instead of 4x) at identical
+    output lanes; costs one extra (P+2)/P-sized input materialization.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    sd, sh, sw = strides
+    pd, ph, pw = padding
+    dd, dh, dw = dilation
+    assert kd == 3 and pd == 1 and dd == 1 and sd == 1, (
+        kernel.shape, strides, padding, dilation)
+    b, r, h, w, pc = xp.shape
+    assert pc == pack * ci, (xp.shape, kernel.shape, pack)
+    xh = halo_widen(xp, pack, ci).reshape(b * r, h, w, (pack + 2) * ci)
+    kp = hpack_kernel(kernel, pack)
+    y2 = lax.conv_general_dilated(
+        xh, kp, window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+        rhs_dilation=(dh, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y2.reshape(b, r, y2.shape[1], y2.shape[2], pack * co)
+
+
+def classify_kernel(kernel, pack, hq):
+    """[3,kh,kw,Ci,1] -> D-packed + H-opacked kernel for 1-channel heads.
+
+    Returns [3, hq+2, kw, P*Ci, hq*P]: the D axis uses the dpack block
+    mapping (window 3 over packed rows), and `hq` consecutive H outputs are
+    folded into output channels (H window hq+2, H stride hq) so the output
+    lane count becomes hq*P instead of P. MAC overhead is huge relative to
+    the (tiny) true op, but the head is HBM-bound: full lanes get it near
+    the bandwidth floor instead of the 3 ms the 4-lane form costs on v5e.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3 and kh == 3 and co == 1, kernel.shape
+    kdp = dpack_kernel(kernel, pack)  # [3, 3, kw, P*Ci, P]
+    kp = jnp.zeros((3, hq + 2, kw, pack * ci, hq, pack), kernel.dtype)
+    for qh in range(hq):
+        kp = kp.at[:, qh:qh + 3, :, :, qh, :].set(kdp)
+    return kp.reshape(3, hq + 2, kw, pack * ci, hq * pack)
+
+
+def conv3d_packed_classify(xp, kernel, pack, hq):
+    """Classify-head conv (Co=1, k3/s1/p1) on a packed volume, H-opacked.
+
+    xp: [B, R, H, W, P*Ci] with H % hq == 0. Returns the packed-layout
+    output [B, R, H, W, P] (== conv3d_packed(xp, kernel, pack) exactly).
+    """
+    b, r, h, w, pc = xp.shape
+    kd, kh, kw, ci, co = kernel.shape
+    assert co == 1 and pc == pack * ci and h % hq == 0, (
+        xp.shape, kernel.shape, pack, hq)
+    kp = classify_kernel(kernel, pack, hq)
+    yp = lax.conv_general_dilated(
+        xp, kp, window_strides=(1, hq, 1),
+        padding=[(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    # [B, R, H/hq, W, hq*P] -> [B, R, H, W, P]
+    y = yp.reshape(b, r, h // hq, w, hq, pack)
+    y = jnp.moveaxis(y, 4, 3)  # [B, R, H/hq, hq, W, P]
+    return y.reshape(b, r, h, w, pack)
+
+
+def classify_kernel_halo(kernel, pack, hq):
+    """[3,3,kw,Ci,1] -> halo-D + H-opack classify kernel.
+
+    Returns [hq+2, kw, (P+2)*Ci, hq*P] for a 2-D conv over the halo-widened
+    volume: D taps via the halo band (hpack_kernel), hq H outputs folded
+    into lanes. Dense-MAC cost is half of classify_kernel's window-3 form.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3 and kh == 3 and co == 1, kernel.shape
+    khp = hpack_kernel(kernel, pack)  # [3, kw, (P+2)*Ci, P]
+    kp = jnp.zeros((hq + 2, kw, (pack + 2) * ci, hq, pack), kernel.dtype)
+    for qh in range(hq):
+        kp = kp.at[qh:qh + 3, :, :, qh, :].set(khp)
+    return kp.reshape(hq + 2, kw, (pack + 2) * ci, hq * pack)
+
+
+def conv3d_hpack_classify(xp, kernel, pack, hq):
+    """conv3d_packed_classify with the D taps folded via halo widening.
+
+    Exactly == conv3d_packed(xp, kernel, pack) for Co=1 k3/s1/p1 heads;
+    one 2-D conv [B*R, H, W, (P+2)Ci] -> [B*R, H/hq, W, hq*P].
+    """
+    b, r, h, w, pc = xp.shape
+    kd, kh, kw, ci, co = kernel.shape
+    assert co == 1 and pc == pack * ci and h % hq == 0, (
+        xp.shape, kernel.shape, pack, hq)
+    xh = halo_widen(xp, pack, ci).reshape(b * r, h, w, (pack + 2) * ci)
+    kp = classify_kernel_halo(kernel, pack, hq)
+    y2 = lax.conv_general_dilated(
+        xh, kp, window_strides=(hq, 1), padding=[(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y2.reshape(b, r, h // hq, w, hq, pack)
+    y = jnp.moveaxis(y, 4, 3)
+    return y.reshape(b, r, h, w, pack)
 
 
 def conv3d_transpose_c1_phase(x, kernel):

@@ -313,9 +313,83 @@ def main2():
           cflops(vox_full, 32, 1), args.iters)
 
 
+def main3():
+    """Round 3: halo-packed s1 convs and H-opacked classify heads
+    (ops/conv3d.py conv3d_hpack / conv3d_packed_classify) vs the window-3
+    packed forms they would replace. Run with --round3."""
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--round3", action="store_true")
+    args, _ = ap.parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.ops.conv3d import (
+        conv3d_packed, conv3d_hpack, conv3d_packed_classify)
+
+    print(f"backend={jax.default_backend()}")
+    P = 4
+    B, D, H, W = 1, 48, 96, 312
+    DT = jnp.bfloat16
+    rng = np.random.RandomState(0)
+
+    def mk(s):
+        return jnp.asarray(rng.randn(*s), DT)
+
+    def cflops(vox, ci, co, k=27):
+        return 2 * vox * ci * co * k
+
+    vox_full = B * D * H * W
+
+    # A: 32->32 s1 full-res (the ~9 x 1.68 ms trunk convs)
+    k_a = mk((3, 3, 3, 32, 32)) * 0.05
+    x_ap = mk((B, D // P, H, W, P * 32))
+    timed("A packed4 win3 128->128 s1", lambda x: conv3d_packed(x, k_a, P),
+          x_ap, cflops(vox_full, 32, 32), args.iters)
+    timed("A hpack 192->128 s1 (halo in-loop)",
+          lambda x: conv3d_hpack(x, k_a, P),
+          x_ap, cflops(vox_full, 32, 32), args.iters)
+
+    # B: 64->32 s1 full-res (dres0 entry conv)
+    k_b = mk((3, 3, 3, 64, 32)) * 0.05
+    x_bp = mk((B, D // P, H, W, P * 64))
+    timed("B packed4 win3 256->128 s1", lambda x: conv3d_packed(x, k_b, P),
+          x_bp, cflops(vox_full, 64, 32), args.iters)
+    timed("B hpack 384->128 s1",
+          lambda x: conv3d_hpack(x, k_b, P),
+          x_bp, cflops(vox_full, 64, 32), args.iters)
+
+    # F: 64->64 s1 half-res (hourglass interior)
+    k_f = mk((3, 3, 3, 64, 64)) * 0.05
+    x_fp = mk((B, D // 2 // P, H // 2, W // 2, P * 64))
+    timed("F packed4 win3 256->256 s1 half",
+          lambda x: conv3d_packed(x, k_f, P),
+          x_fp, cflops(vox_full // 8, 64, 64), args.iters)
+    timed("F hpack 384->256 s1 half",
+          lambda x: conv3d_hpack(x, k_f, P),
+          x_fp, cflops(vox_full // 8, 64, 64), args.iters)
+
+    # E: classify 32->1
+    k_e = mk((3, 3, 3, 32, 1)) * 0.05
+    x_ep = mk((B, D // P, H, W, P * 32))
+    timed("E packed4 win3 128->4", lambda x: conv3d_packed(x, k_e, P),
+          x_ep, cflops(vox_full, 32, 1), args.iters)
+    for hq in (8, 16, 32):
+        timed(f"E classify hq={hq} lanes={hq*P}",
+              lambda x, hq=hq: conv3d_packed_classify(x, k_e, P, hq),
+              x_ep, cflops(vox_full, 32, 1), args.iters)
+    from densematchingbenchmark_tpu.ops.conv3d import conv3d_hpack_classify
+    for hq in (16, 32, 96):
+        timed(f"E classify halo hq={hq} lanes={hq*P}",
+              lambda x, hq=hq: conv3d_hpack_classify(x, k_e, P, hq),
+              x_ep, cflops(vox_full, 32, 1), args.iters)
+
+
 if __name__ == "__main__":
     import sys as _s
-    if "--round2" in _s.argv:
+    if "--round3" in _s.argv:
+        main3()
+    elif "--round2" in _s.argv:
         main2()
     else:
         main()
