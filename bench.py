@@ -36,15 +36,25 @@ def main():
     def forward(left, right):
         return model.apply(variables, left, right, train=False)["disps"][0]
 
-    # warmup / compile
-    forward(left, right).block_until_ready()
-    forward(left, right).block_until_ready()
-
+    # Distinct random frames per iteration (DESIGN.md §3: only
+    # distinct-input timings are trustworthy over the axon tunnel), staged
+    # on device up front so H2D transfer is not timed.
     iters = 10
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * iters)
+    frames = [
+        (jax.device_put(jax.random.normal(keys[2 * i], left.shape)),
+         jax.device_put(jax.random.normal(keys[2 * i + 1], right.shape)))
+        for i in range(iters)
+    ]
+    jax.block_until_ready(frames)
+
+    # warmup / compile
+    forward(*frames[0]).block_until_ready()
+    forward(*frames[1]).block_until_ready()
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(left, right)
-    out.block_until_ready()
+    outs = [forward(l, r) for l, r in frames]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 
@@ -53,6 +63,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "ms": round(dt * 1e3, 2),
     }))
 
 

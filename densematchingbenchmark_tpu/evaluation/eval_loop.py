@@ -38,16 +38,23 @@ def make_eval_metrics_step(model, lb, ub, eval_disparity_ids=(0,),
 
 
 def evaluate(model, variables, dataset, eval_cfg, eval_disparity_ids=(0,),
-             batch_size=1, num_shards=1, shard_id=0, loader=None):
+             batch_size=1, num_shards=1, shard_id=0, loader=None, step=None):
     """Run eval over (a shard of) the dataset; returns averaged metrics.
 
     Returns {f'disp_{id}/{metric}': float}. With num_shards > 1 the caller
     must allgather-and-average the per-shard (sums, count).
+
+    Pass a prebuilt `step` (make_eval_metrics_step) when calling repeatedly
+    (e.g. per-epoch from the trainer): a fresh jax.jit closure per call
+    would recompile the eval forward every epoch (1-2 min on real TPU).
+    The jit cache inside one `step` also handles heterogeneous eval shapes
+    (KITTI): each distinct padded shape compiles once, then hits cache.
     """
-    step = make_eval_metrics_step(
-        model, eval_cfg.get("lower_bound", 0),
-        eval_cfg.get("upper_bound", 192), eval_disparity_ids,
-        eval_cfg.get("eval_occlusion", False))
+    if step is None:
+        step = make_eval_metrics_step(
+            model, eval_cfg.get("lower_bound", 0),
+            eval_cfg.get("upper_bound", 192), eval_disparity_ids,
+            eval_cfg.get("eval_occlusion", False))
 
     sums, count = {}, 0
     indices = range(shard_id, len(dataset), num_shards)

@@ -42,6 +42,15 @@ from jax import lax
 
 _IMPL = os.environ.get("DMB_CONV3D_IMPL", "xla")
 
+# Packed-schedule selection (conv3d_packed dispatch), read ONCE at import
+# like _IMPL; override via set_packed_schedules() (or the env vars before
+# import). 'classify': 'hq' routes Co=1 k3/s1/p1 heads to the H-opacked
+# form, 'win3' forces the plain window-3 packed conv. 's1': 'auto' routes
+# stride-1 convs with Ci >= 2*Co to the halo form, 'hpack'/'win3' force
+# one schedule (A/B testing).
+_PACKED_CLASSIFY = os.environ.get("DMB_PACKED_CLASSIFY", "hq")
+_PACKED_S1 = os.environ.get("DMB_PACKED_S1", "auto")
+
 
 def set_impl(name: str):
     """Global conv3d implementation: 'auto', 'xla', 'tapped' or 'dpack'."""
@@ -52,6 +61,27 @@ def set_impl(name: str):
 
 def get_impl() -> str:
     return _IMPL
+
+
+def set_packed_schedules(classify=None, s1=None):
+    """Select conv3d_packed sub-schedules (see module docstring).
+
+    s1='pallas' routes eligible stride-1 convs (k3/p1/d1, Co>1, even pack,
+    H % 8 == 0, accelerator backend) through the true-MAC Pallas kernel
+    (ops/pallas/packed_conv3d_kernel.py); ineligible shapes fall back to
+    the XLA auto dispatch.
+    """
+    global _PACKED_CLASSIFY, _PACKED_S1
+    if classify is not None:
+        assert classify in ("hq", "win3"), classify
+        _PACKED_CLASSIFY = classify
+    if s1 is not None:
+        assert s1 in ("auto", "hpack", "win3", "pallas"), s1
+        _PACKED_S1 = s1
+
+
+def get_packed_schedules():
+    return {"classify": _PACKED_CLASSIFY, "s1": _PACKED_S1}
 
 
 def use_tapped() -> bool:
@@ -245,8 +275,8 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
     convs whose input is at least twice the output channel count route to
     the halo form (6.0 -> 4.7 ms for 64->32: its dense-MAC count is
     (P+2)/3 x true instead of P x, which beats the extra halo traffic once
-    Ci is large). Env overrides: DMB_PACKED_CLASSIFY=win3 / DMB_PACKED_S1=
-    win3|hpack force a single schedule (A/B testing).
+    Ci is large). Overrides: set_packed_schedules(classify=, s1=) — or the
+    DMB_PACKED_CLASSIFY / DMB_PACKED_S1 env vars at import time.
     """
     kd, kh, kw, ci, co = kernel.shape
     sd, sh, sw = strides
@@ -257,15 +287,23 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
     assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
     s1_plain = (strides == (1, 1, 1) and padding == (1, 1, 1)
                 and dilation == (1, 1, 1) and (kh, kw) == (3, 3))
-    if (co == 1 and s1_plain
-            and os.environ.get("DMB_PACKED_CLASSIFY", "hq") != "win3"):
+    if co == 1 and s1_plain and _PACKED_CLASSIFY != "win3":
         h = xp.shape[2]
         for hq in (32, 16, 8):
             if h % hq == 0:
                 return conv3d_packed_classify(xp, kernel, pack, hq)
-    s1_impl = os.environ.get("DMB_PACKED_S1", "auto")
-    if sd == 1 and (s1_impl == "hpack"
-                    or (s1_impl == "auto" and ci >= 2 * co)):
+    if _PACKED_S1 == "pallas" and s1_plain and co > 1 and pack % 2 == 0:
+        import jax
+        h = xp.shape[2]
+        if jax.default_backend() != "cpu":
+            for h_t in (16, 8):
+                if h % h_t == 0:
+                    from .pallas.packed_conv3d_kernel import (
+                        conv3d_packed_s1_pallas)
+                    return conv3d_packed_s1_pallas(xp, kernel, pack=pack,
+                                                   h_tile=h_t)
+    if sd == 1 and (_PACKED_S1 == "hpack"
+                    or (_PACKED_S1 == "auto" and ci >= 2 * co)):
         return conv3d_hpack(xp, kernel, pack, strides, padding, dilation)
     if sd == 1:
         kp = dpack_kernel(kernel, pack)
@@ -417,6 +455,10 @@ def conv3d_hpack_classify(xp, kernel, pack, hq):
 
     Exactly == conv3d_packed(xp, kernel, pack) for Co=1 k3/s1/p1 heads;
     one 2-D conv [B*R, H, W, (P+2)Ci] -> [B*R, H/hq, W, hq*P].
+
+    Bench-only candidate schedule: NOT dispatched by conv3d_packed (the
+    round-3 v5e numbers favored conv3d_packed_classify); kept for
+    tools/microbench_conv3d_packed.py A/B runs and parity-tested.
     """
     b, r, h, w, pc = xp.shape
     kd, kh, kw, ci, co = kernel.shape

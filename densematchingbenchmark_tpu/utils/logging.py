@@ -1,9 +1,10 @@
-"""Logging: rank-0 text logger, JSON metrics log, tensorboard scalars.
+"""Logging: rank-0 text logger, JSON metrics log, tensorboard scalars+media.
 
 Parity targets:
   dmb/utils/env.py:63-81 (rank-0-only root logger)
   dmb/utils/text_logger.py:16-136 (epoch/iter/lr/time/loss lines + .log.json)
-  dmb/utils/tensorboard_logger.py:7-98 (scalar routing)
+  dmb/utils/tensorboard_logger.py:7-98 (scalar + image/figure/histogram
+  tag-prefix routing — see MetricsLogger.log_media)
 """
 
 import json
@@ -11,6 +12,8 @@ import logging
 import os
 import sys
 import time
+
+import numpy as np
 
 
 def get_logger(work_dir=None, name="dmb_tpu", rank=0):
@@ -59,6 +62,34 @@ class MetricsLogger:
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.add_scalar(prefix + k, float(v), int(step))
+
+    def log_media(self, step, media):
+        """Tag-prefix media routing (tensorboard_logger.py:45-69 parity):
+        'image/<tag>'     -> add_image   (HWC float 0-255 / 0-1 or uint8)
+        'histogram/<tag>' -> add_histogram (raw values)
+        'figure/<tag>'    -> add_figure (matplotlib figure)
+        anything else     -> add_scalar.
+        """
+        if self.rank != 0 or self.tb is None:
+            return
+        for tag, rec in media.items():
+            prefix, _, suffix = tag.partition("/")
+            if prefix == "image":
+                img = np.asarray(rec)
+                if img.ndim == 2:
+                    img = img[..., None].repeat(3, -1)
+                if img.dtype != np.uint8:
+                    peak = img.max()
+                    img = np.clip(img * (255.0 if peak <= 1.0 + 1e-6
+                                         else 1.0), 0, 255).astype(np.uint8)
+                self.tb.add_image(suffix, img, int(step), dataformats="HWC")
+            elif prefix == "histogram":
+                self.tb.add_histogram(suffix, np.asarray(rec).ravel(),
+                                      int(step))
+            elif prefix == "figure":
+                self.tb.add_figure(suffix, rec, int(step))
+            else:
+                self.tb.add_scalar(tag, float(rec), int(step))
 
     def close(self):
         if self.tb is not None:

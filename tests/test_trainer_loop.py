@@ -54,6 +54,15 @@ def test_train_loop_runs_checkpoints_and_resumes(tmp_path):
         records = [json.loads(l) for l in fp]
     assert any("eval/disp_0/epe" in r for r in records)
 
+    # per-epoch vis hook dumped PNG panels + tensorboard event files
+    # (reference DistStereoVisHook / tensorboard media routing)
+    import glob
+    import os
+    pngs = glob.glob(os.path.join(work, "vis", "sample_*", "*.png"))
+    assert any("disp_0_" in p for p in pngs), pngs
+    assert any("group_" in p for p in pngs), pngs
+    assert glob.glob(os.path.join(work, "tb", "events.*")), "no tb events"
+
     # resume continues from the saved step (epoch 1 done -> run epoch 2)
     cfg2 = tiny_cfg(tmp_path, epochs=2)
     state2 = train_matcher(cfg2, work, train_dataset=make_ds(), resume=True,

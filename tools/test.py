@@ -92,20 +92,62 @@ def main():
     for k in sorted(results):
         print(f"  {k:24s} {results[k]:.4f}")
 
-    if args.out_dir:
+    has_conf = cfg["model"].get("cmn") is not None
+    if args.out_dir or has_conf:
         from densematchingbenchmark_tpu.visualization import SaveResultTool
         from densematchingbenchmark_tpu.trainer import make_eval_step
-        save = SaveResultTool(args.out_dir)
-        step = make_eval_step(model)
         from densematchingbenchmark_tpu.data.loader import collate
+        save = SaveResultTool(args.out_dir) if args.out_dir else None
+        step = make_eval_step(model)
+        spars_sums, spars_n = {}, 0
         for i in range(len(ds)):
             batch = collate([ds[i]])
             out = step(state, {k: batch[k]
                                for k in ("leftImage", "rightImage")})
-            save(f"{i:06d}", np.asarray(out["disps"][0]),
-                 batch.get("leftDisp"),
-                 batch["leftImage"] * np.asarray(std) + np.asarray(mean))
-        print(f"results saved to {args.out_dir}")
+            if save is not None:
+                save(f"{i:06d}", np.asarray(out["disps"][0]),
+                     batch.get("leftDisp"),
+                     batch["leftImage"] * np.asarray(std) + np.asarray(mean))
+            if "confs" in out and batch.get("leftDisp") is not None:
+                # confidence quality: sparsification curves averaged over
+                # the test set (reference tools/test.py:150-157) +
+                # histogram/map dumps (eval_hooks.py:211-241)
+                from densematchingbenchmark_tpu.evaluation import (
+                    sparsification)
+                ecfg = cfg["model"].get("eval", {})
+                sp = sparsification.sparsification_plot(
+                    np.asarray(out["disps"][0]),
+                    np.asarray(batch["leftDisp"]),
+                    np.asarray(out["confs"][0]),
+                    lb=ecfg.get("lower_bound", 0),
+                    ub=ecfg.get("upper_bound", 192), seed=i)
+                for k, v in sp.items():
+                    spars_sums[k] = spars_sums.get(k, 0.0) + v
+                spars_n += 1
+                if save is not None:
+                    from imageio.v2 import imwrite
+                    from densematchingbenchmark_tpu.visualization import (
+                        show_result)
+                    conf_dir = os.path.join(args.out_dir, "confidence")
+                    os.makedirs(conf_dir, exist_ok=True)
+                    conf = np.clip(
+                        np.asarray(out["confs"][0])[0, ..., 0], 0, 1)
+                    imwrite(os.path.join(conf_dir, f"{i:06d}.png"),
+                            (conf * 255).astype(np.uint8))
+                    hist = show_result.hist_to_vis(
+                        show_result.conf_to_hist(conf))
+                    imwrite(os.path.join(conf_dir, f"{i:06d}_hist.png"),
+                            np.clip(hist, 0, 255).astype(np.uint8))
+        if spars_n:
+            print(f"sparsification ({spars_n} samples, EPE after removing "
+                  f"least-confident X%):")
+            pcts = sorted({int(k.split('_')[-1]) for k in spars_sums})
+            for series in ("est", "oracle", "random"):
+                row = " ".join(f"{spars_sums[f'{series}_{p}']/spars_n:7.3f}"
+                               for p in pcts if f"{series}_{p}" in spars_sums)
+                print(f"  {series:7s} {row}")
+        if args.out_dir:
+            print(f"results saved to {args.out_dir}")
 
 
 if __name__ == "__main__":
