@@ -14,9 +14,9 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .sampler import EpochSampler
+from .sampler import EpochSampler, GroupedEpochSampler
 
-_BATCH_KEYS = ("leftImage", "rightImage", "leftDisp", "rightDisp")
+_BATCH_KEYS = ("leftImage", "rightImage", "leftDisp", "rightDisp", "flow")
 
 
 def collate(samples):
@@ -30,10 +30,17 @@ def collate(samples):
 
 class DataLoader:
     def __init__(self, dataset, global_batch, shuffle=True, num_shards=1,
-                 shard_id=0, seed=0, num_workers=8, prefetch=2):
+                 shard_id=0, seed=0, num_workers=8, prefetch=2,
+                 group_flags=None):
         self.dataset = dataset
-        self.sampler = EpochSampler(len(dataset), global_batch, shuffle,
-                                    num_shards, shard_id, seed)
+        if group_flags is not None:
+            # aspect-group batching (reference DistributedGroupSampler)
+            self.sampler = GroupedEpochSampler(
+                len(dataset), global_batch, group_flags, shuffle,
+                num_shards, shard_id, seed)
+        else:
+            self.sampler = EpochSampler(len(dataset), global_batch, shuffle,
+                                        num_shards, shard_id, seed)
         self.seed = seed
         self.num_workers = num_workers
         self.prefetch = prefetch

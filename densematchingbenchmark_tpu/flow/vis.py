@@ -57,3 +57,33 @@ def flow_to_color(flow, max_flow=None):
     col = 1.0 - rad[..., None] * (1.0 - col)
     col[nan] = 0.0
     return (col * 255.0).astype(np.float32)
+
+
+class SaveFlowResultTool:
+    """Save estimated flow per sample: raw .flo + color-wheel PNG.
+
+    Reference analog: dmb/visualization/flow/save_result.py (SaveResultTool
+    for flow); output tree <out_dir>/flow_0/<name>.flo and
+    <out_dir>/color_flow/<name>.png.
+    """
+
+    def __init__(self, out_dir):
+        self.out_dir = out_dir
+
+    def __call__(self, name, est_flow):
+        import os
+        import os.path as osp
+        import numpy as np
+        from .io import save_flo
+        from imageio.v2 import imwrite
+
+        est_flow = np.asarray(est_flow, np.float32)
+        if est_flow.ndim == 4:
+            est_flow = est_flow[0]
+        flo_dir = osp.join(self.out_dir, "flow_0")
+        os.makedirs(flo_dir, exist_ok=True)
+        save_flo(osp.join(flo_dir, f"{name}.flo"), est_flow)
+        color_dir = osp.join(self.out_dir, "color_flow")
+        os.makedirs(color_dir, exist_ok=True)
+        imwrite(osp.join(color_dir, f"{name}.png"),
+                np.clip(flow_to_color(est_flow), 0, 255).astype(np.uint8))

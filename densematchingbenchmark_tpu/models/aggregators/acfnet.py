@@ -27,6 +27,9 @@ class AcfAggregator(nn.Module):
     pack: int = 0
     # Per-hourglass rematerialization; see PSMAggregator.remat.
     remat: bool = False
+    # D-sharded cost-volume support; see PSMAggregator.strided_sharding.
+    strided_sharding: Any = None
+    volume_sharding: Any = None
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
@@ -53,16 +56,27 @@ class AcfAggregator(nn.Module):
 
         def hourglass(i):
             return hg_cls(32, bn, dtype=dt, pack=pk,
+                          strided_sharding=self.strided_sharding,
                           name=f"Hourglass3D_{i}")
 
-        out1, pre1, post1 = hourglass(0)(cost0, None, None, train)
+        def gather_d(x):
+            if self.strided_sharding is not None:
+                import jax
+                return jax.lax.with_sharding_constraint(
+                    x, self.strided_sharding)
+            return x
+
+        out1, pre1, post1 = hourglass(0)(gather_d(cost0), None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = hourglass(1)(out1, pre1, post1, train)
+        out2, pre2, post2 = hourglass(1)(gather_d(out1), pre1, post1, train)
         out2 = out2 + cost0
-        out3, _, _ = hourglass(2)(out2, pre2, post2, train)
+        out3, _, _ = hourglass(2)(gather_d(out2), pre2, post2, train)
         out3 = out3 + cost0
 
         def classify(x, i):
+            if self.volume_sharding is not None:
+                import jax
+                x = jax.lax.with_sharding_constraint(x, self.volume_sharding)
             x = unit(32)(x, train)
             if pk > 1:
                 return DispatchConv3D(

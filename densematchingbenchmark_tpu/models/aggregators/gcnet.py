@@ -24,10 +24,19 @@ class GCAggregator(nn.Module):
     # pack=2 is the divisibility-safe choice here: the 4 stride-2 stages
     # need even packed-row counts, i.e. (max_disp/2) % (16*pack) == 0.
     pack: int = 0
+    # D-sharded cost-volume support: the GC trunk is one strided
+    # encoder-decoder, so under D-sharding the WHOLE trunk runs batch-only
+    # (see PSMAggregator.strided_sharding / parallel/mesh docstring).
+    strided_sharding: Any = None
+    volume_sharding: Any = None
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
         bn, dt = self.batch_norm, self.dtype
+        if self.strided_sharding is not None:
+            import jax
+            raw_cost = jax.lax.with_sharding_constraint(
+                raw_cost, self.strided_sharding)
         f = self.in_planes // 2
         b, d, h, w, _ = raw_cost.shape
         pk = self.pack if self.pack and self.pack > 1 else 1

@@ -34,6 +34,13 @@ class PSMAggregator(nn.Module):
     # (tools/microbench_conv3d_packed.py). Requires (max_disp/4) % (4*pack)
     # == 0 (two stride-2 levels inside the hourglasses).
     pack: int = 0
+    # D-sharded cost-volume support: strided_sharding (batch-only) is
+    # constrained onto every hourglass input — XLA's SPMD partitioner
+    # miscompiles window-STRIDED convs over a sharded dim (see
+    # parallel/mesh.batch_only_volume_sharding) — and volume_sharding
+    # (batch x D) is re-constrained for the stride-1 classify stage.
+    strided_sharding: Any = None
+    volume_sharding: Any = None
     # remat: rematerialize each hourglass in the backward pass
     # (jax.checkpoint per block). Peak training activation memory drops from
     # "all hourglass internals" to "one hourglass's internals + the block
@@ -68,16 +75,27 @@ class PSMAggregator(nn.Module):
 
         def hourglass(i):
             return hg_cls(32, bn, dtype=dt, pack=pk,
+                          strided_sharding=self.strided_sharding,
                           name=f"Hourglass3D_{i}")
 
-        out1, pre1, post1 = hourglass(0)(cost0, None, None, train)
+        def gather_d(x):
+            if self.strided_sharding is not None:
+                import jax
+                return jax.lax.with_sharding_constraint(
+                    x, self.strided_sharding)
+            return x
+
+        out1, pre1, post1 = hourglass(0)(gather_d(cost0), None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = hourglass(1)(out1, pre1, post1, train)
+        out2, pre2, post2 = hourglass(1)(gather_d(out1), pre1, post1, train)
         out2 = out2 + cost0
-        out3, _, _ = hourglass(2)(out2, pre2, post2, train)
+        out3, _, _ = hourglass(2)(gather_d(out2), pre2, post2, train)
         out3 = out3 + cost0
 
         def classify(x, i):
+            if self.volume_sharding is not None:
+                import jax
+                x = jax.lax.with_sharding_constraint(x, self.volume_sharding)
             x = unit(32)(x, train)
             if pk > 1:
                 return DispatchConv3D(

@@ -66,10 +66,18 @@ def build_backbone(model_cfg, dtype):
                **kwargs)
 
 
-def build_aggregator(agg_cfg, batch_norm, dtype):
+def build_aggregator(agg_cfg, batch_norm, dtype, mesh=None):
     cls = AGGREGATORS[agg_cfg["type"]]
     kwargs = {k: v for k, v in agg_cfg.items()
               if k not in ("type", "in_planes")}
+    if mesh is not None and hasattr(cls, "strided_sharding"):
+        # D-sharded cost volumes must gather D around strided stages
+        # (parallel/mesh.batch_only_volume_sharding docstring)
+        from ..parallel.mesh import (batch_only_volume_sharding,
+                                     cost_volume_sharding)
+        kwargs.setdefault("strided_sharding",
+                          batch_only_volume_sharding(mesh))
+        kwargs.setdefault("volume_sharding", cost_volume_sharding(mesh))
     return cls(batch_norm=batch_norm, dtype=dtype, **kwargs)
 
 
@@ -77,7 +85,8 @@ def build_cost_processor(model_cfg, dtype, mesh=None):
     cfg = model_cfg["cost_processor"]
     comp = cfg.get("cost_computation", {})
     aggregator = build_aggregator(cfg["cost_aggregator"],
-                                  model_cfg.get("batch_norm", True), dtype)
+                                  model_cfg.get("batch_norm", True), dtype,
+                                  mesh=mesh)
     volume_sharding = None
     if mesh is not None:
         from ..parallel.mesh import cost_volume_sharding

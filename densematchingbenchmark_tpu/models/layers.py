@@ -415,6 +415,12 @@ class Hourglass3D(nn.Module):
     batch_norm: bool = True
     dtype: Any = jnp.float32
     pack: int = 1  # > 1: all tensors in trunk-packed layout (ops/conv3d.py)
+    # Under a D-sharded cost volume, pin the strided convs' operands and
+    # results to this (batch-only) sharding: XLA's SPMD partitioner
+    # miscompiles window-strided convs over a sharded dim (see
+    # parallel/mesh.batch_only_volume_sharding). Propagation would
+    # otherwise re-shard interior tensors from the D-sharded skip adds.
+    strided_sharding: Any = None
 
     @nn.compact
     def __call__(self, x, presqu=None, postsqu=None, train: bool = False):
@@ -427,14 +433,21 @@ class Hourglass3D(nn.Module):
                             output_padding=1 if transpose else 0,
                             dtype=dt, pack=pk)
 
-        out = unit(c2, stride=2)(x, train)                          # 1/2
+        def pin(h):
+            if self.strided_sharding is not None:
+                import jax
+                return jax.lax.with_sharding_constraint(
+                    h, self.strided_sharding)
+            return h
+
+        out = pin(unit(c2, stride=2)(pin(x), train))                # 1/2
         pre = unit(c2, relu=False)(out, train)
         if postsqu is not None:
             pre = nn.relu(pre + postsqu)
         else:
             pre = nn.relu(pre)
 
-        out = unit(c2, stride=2)(pre, train)                        # 1/4
+        out = pin(unit(c2, stride=2)(pin(pre), train))              # 1/4
         out = unit(c2)(out, train)
 
         up1 = unit(c2, stride=2, relu=False, transpose=True)(out, train)

@@ -46,6 +46,21 @@ def cost_volume_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
 
 
+def batch_only_volume_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, D, H, W, ...]: batch on data axis, D replicated.
+
+    Used around STRIDED depth convs in the aggregation trunks: XLA's SPMD
+    partitioner miscompiles window-strided convolutions whose window dim is
+    sharded (verified on jax 0.9.0 CPU: lax.conv_general_dilated kd=4 sd=2
+    pad(1,1) with the D dim sharded returns wrong values, max err ~16 on
+    O(1) data — stride-1 windows and lhs-dilated deconvs are fine). The
+    D-sharded cost volume therefore gathers D before each strided stage and
+    re-shards afterwards; the full-res stride-1 convs (the FLOPs/HBM bulk)
+    keep the D sharding.
+    """
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch pytree with batch-dim sharding."""
     sh = batch_sharding(mesh)

@@ -59,10 +59,16 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
         mesh = make_mesh()
     n_data = mesh.shape["data"]
     global_batch = data_cfg.get("batch_size_per_device", 1) * n_data
+    group_flags = None
+    if data_cfg.get("group_sampling"):
+        # aspect-group batching (reference DistributedGroupSampler)
+        from ..data.sampler import aspect_group_flags
+        group_flags = aspect_group_flags(train_dataset)
     loader = DataLoader(train_dataset, global_batch,
                         num_shards=jax.process_count(),
                         shard_id=jax.process_index(),
-                        seed=cfg.get("seed", 0))
+                        seed=cfg.get("seed", 0),
+                        group_flags=group_flags)
     steps_per_epoch = loader.steps_per_epoch()
 
     model = build_model(cfg, mesh=mesh if use_volume_sharding else None)

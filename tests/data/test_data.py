@@ -113,3 +113,57 @@ def test_dataloader_batches():
     again = list(loader.epoch(0))
     np.testing.assert_allclose(batches[0]["leftImage"],
                                again[0]["leftImage"])
+
+
+def test_grouped_epoch_sampler_semantics_and_determinism():
+    """GroupedEpochSampler: every batch single-group, all samples covered,
+    deterministic in (seed, epoch), distinct across epochs, and shards
+    partition each batch (reference DistributedGroupSampler semantics,
+    dmb/data/loaders/samplers.py:12-159)."""
+    import numpy as np
+    from densematchingbenchmark_tpu.data.sampler import GroupedEpochSampler
+
+    n, gb = 23, 4
+    flags = np.asarray([0, 1] * 11 + [0])  # 12 zeros, 11 ones
+    s = GroupedEpochSampler(n, gb, flags, seed=3)
+    idx = s.epoch_indices(0)
+    assert idx.shape == (s.steps_per_epoch(), gb)
+    assert s.steps_per_epoch() == 3 + 3  # ceil(12/4) + ceil(11/4)
+    # every batch drawn from exactly one aspect group
+    for row in idx:
+        assert len({int(flags[i]) for i in row}) == 1, row
+    # full coverage (wrap-padding duplicates allowed)
+    assert set(idx.ravel()) == set(range(n))
+    # determinism + epoch variation
+    np.testing.assert_array_equal(idx, GroupedEpochSampler(
+        n, gb, flags, seed=3).epoch_indices(0))
+    assert not np.array_equal(idx, s.epoch_indices(1))
+
+    # two shards partition each global batch, preserving the group property
+    sh0 = GroupedEpochSampler(n, gb, flags, num_shards=2, shard_id=0,
+                              seed=3).epoch_indices(0)
+    sh1 = GroupedEpochSampler(n, gb, flags, num_shards=2, shard_id=1,
+                              seed=3).epoch_indices(0)
+    recombined = np.concatenate([sh0, sh1], axis=1)
+    np.testing.assert_array_equal(np.sort(recombined, 1), np.sort(idx, 1))
+
+
+def test_loader_group_flags_round_trip():
+    """DataLoader(group_flags=...) yields homogeneous-group batches."""
+    import numpy as np
+    from densematchingbenchmark_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i, rng=None):
+            return {"leftImage": np.full((4, 4, 3), i, np.float32),
+                    "rightImage": np.zeros((4, 4, 3), np.float32),
+                    "original_size": (4, 4)}
+
+    flags = np.asarray([0] * 5 + [1] * 5)
+    loader = DataLoader(DS(), 2, group_flags=flags, num_workers=2)
+    for batch in loader.epoch(0):
+        ids = batch["leftImage"][:, 0, 0, 0].astype(int)
+        assert len({int(flags[i]) for i in ids}) == 1, ids

@@ -28,6 +28,66 @@ def parse_args():
     return p.parse_args()
 
 
+def _flow_main(args, cfg):
+    """Flow-task eval branch: EPE/n-px over the test set + optional .flo +
+    color-wheel dumps (reference flow eval_hooks/save_result analogs)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from densematchingbenchmark_tpu.flow.models import build_flow_model
+    from densematchingbenchmark_tpu.flow.trainer import evaluate_flow
+    from densematchingbenchmark_tpu.flow import transforms as ftrans
+    from densematchingbenchmark_tpu.flow.datasets import (
+        FlyingChairsDataset, SyntheticFlowDataset)
+    from densematchingbenchmark_tpu.trainer import (TrainState,
+                                                    build_optimizer)
+    from densematchingbenchmark_tpu.utils.checkpoint import CheckpointManager
+    from densematchingbenchmark_tpu.data.loader import collate
+
+    mean, std = cfg["data"]["mean"], cfg["data"]["std"]
+    crop = tuple(cfg["data"].get("crop_size", (320, 448)))
+    pad = tuple(cfg["data"].get("pad_to_size", (384, 512)))
+    if args.synthetic:
+        ds = SyntheticFlowDataset(
+            length=4, height=crop[0], width=crop[1],
+            transform=ftrans.make_eval_transform(crop, mean, std))
+    else:
+        cfg["data"]["data_root"] = args.data_root
+        ds = FlyingChairsDataset(
+            args.annfile, args.data_root,
+            transform=ftrans.make_eval_transform(pad, mean, std))
+
+    model = build_flow_model(cfg)
+    h, w = ds[0]["leftImage"].shape[:2]
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+    template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+    state, _ = CheckpointManager(args.work_dir).restore(template)
+    if state is None:
+        print("WARNING: no checkpoint found, evaluating random init")
+        state = template
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results, n = evaluate_flow(
+        model, variables, ds,
+        sparse=cfg["model"].get("eval", {}).get("sparse", False))
+    print(f"evaluated {n} samples:")
+    for k in sorted(results):
+        print(f"  {k:12s} {results[k]:.4f}")
+
+    if args.out_dir:
+        from densematchingbenchmark_tpu.flow.vis import SaveFlowResultTool
+        save = SaveFlowResultTool(args.out_dir)
+        step = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False))
+        for i in range(len(ds)):
+            batch = collate([ds[i]])
+            out = step(variables, batch["leftImage"], batch["rightImage"])
+            save(f"{i:06d}", np.asarray(out["flows"][0]))
+        print(f"results saved to {args.out_dir}")
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -57,6 +117,10 @@ def main():
         overrides[key] = val
     cfg = get_config(args.config, **overrides)
     mean, std = cfg["data"]["mean"], cfg["data"]["std"]
+
+    if cfg.get("task") == "flow":
+        _flow_main(args, cfg)
+        return
 
     if args.synthetic:
         maxd = cfg["model"]["max_disp"]

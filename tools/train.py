@@ -72,6 +72,39 @@ def main():
         start, _, stop = args.profile.partition(":")
         profile_steps = (int(start), int(stop or start))
 
+    if cfg.get("task") == "flow":
+        # flow branch: PWCFlow etc. through the flow trainer (the
+        # reference cannot train flow at all — empty flow registry)
+        from densematchingbenchmark_tpu.flow.trainer import train_flow
+        from densematchingbenchmark_tpu.flow import transforms as ftrans
+        from densematchingbenchmark_tpu.flow.datasets import (
+            FlyingChairsDataset, SyntheticFlowDataset)
+        mean, std = cfg["data"]["mean"], cfg["data"]["std"]
+        crop = tuple(cfg["data"].get("crop_size", (320, 448)))
+        pad = tuple(cfg["data"].get("pad_to_size", (384, 512)))
+        if args.synthetic:
+            train_ds = SyntheticFlowDataset(
+                length=16, height=crop[0], width=crop[1],
+                transform=ftrans.make_train_transform(crop, mean, std))
+            eval_ds = SyntheticFlowDataset(
+                length=2, height=crop[0], width=crop[1],
+                transform=ftrans.make_eval_transform(crop, mean, std))
+        else:
+            assert args.data_root and args.annfile, \
+                "--data-root and --annfile required (or use --synthetic)"
+            train_ds = FlyingChairsDataset(
+                args.annfile, args.data_root,
+                transform=ftrans.make_train_transform(crop, mean, std))
+            eval_ds = None
+            if args.eval_annfile:
+                eval_ds = FlyingChairsDataset(
+                    args.eval_annfile, args.data_root,
+                    transform=ftrans.make_eval_transform(pad, mean, std))
+        train_flow(cfg, args.work_dir, train_dataset=train_ds,
+                   eval_dataset=eval_ds, vis_dataset=eval_ds,
+                   resume=args.resume, max_steps=args.max_steps)
+        return
+
     if args.synthetic:
         maxd = cfg["model"]["max_disp"]
         cfg["data"] = dict(
