@@ -120,3 +120,76 @@ def inference_stereo(model, batches, pad_to_shape=None, crop_shape=None,
         result["disps"] = disps
         results.append(result)
     return results
+
+
+class FlowModel:
+    """Flow analog of StereoModel (the reference has no flow inference API
+    at all — empty flow registry)."""
+
+    def __init__(self, cfg, variables):
+        self.cfg = cfg
+        self.variables = variables
+        self._jitted = {}
+
+    def forward(self, ref, tgt):
+        import jax
+        key = (ref.shape, tgt.shape)
+        if key not in self._jitted:
+            from .flow.models import build_flow_model
+            model = build_flow_model(self.cfg)
+            self._jitted[key] = jax.jit(
+                lambda v, l, r: model.apply(v, l, r, train=False))
+        return self._jitted[key](self.variables, ref, tgt)
+
+
+def init_flow_model(config_name_or_cfg, checkpoint_dir=None, **overrides):
+    """Build a FlowModel; restore weights from checkpoint_dir if given."""
+    import jax
+    import jax.numpy as jnp
+    from .flow.models import build_flow_model
+    cfg = (get_config(config_name_or_cfg, **overrides)
+           if isinstance(config_name_or_cfg, str) else config_name_or_cfg)
+    model = build_flow_model(cfg)
+    h, w = cfg["data"].get("pad_to_size", (384, 512))
+    dummy = jnp.zeros((1, int(h), int(w), 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+    if checkpoint_dir:
+        from .trainer import TrainState, build_optimizer
+        from .utils.checkpoint import CheckpointManager
+        tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+        template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+        state, _ = CheckpointManager(checkpoint_dir).restore(template)
+        if state is not None:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+    return FlowModel(cfg, variables)
+
+
+def inference_flow(model, batches, pad_to_shape=None):
+    """Run optical-flow inference over {'leftImage', 'rightImage'} pairs.
+
+    Images [H, W, 3] float 0-255; pad_to_shape pads bottom/right to a
+    static shape (flow transforms semantics) and the returned flow is
+    cropped back to the original size. Returns result dicts with 'flows'
+    (numpy, best first).
+    """
+    import jax.numpy as jnp
+    from .flow import transforms as ftrans
+
+    mean, std = model.cfg["data"]["mean"], model.cfg["data"]["std"]
+    results = []
+    for item in batches:
+        left, right = item["leftImage"], item["rightImage"]
+        orig_h, orig_w = left.shape[:2]
+        sample = {"leftImage": left.astype(np.float32),
+                  "rightImage": right.astype(np.float32)}
+        if pad_to_shape is not None:
+            sample = ftrans.pad_to(sample, pad_to_shape)
+        sample = ftrans.normalize(sample, mean, std)
+        out = model.forward(jnp.asarray(sample["leftImage"])[None],
+                            jnp.asarray(sample["rightImage"])[None])
+        flows = [np.asarray(f)[:, :orig_h, :orig_w] for f in out["flows"]]
+        result = dict(item)
+        result["flows"] = flows
+        results.append(result)
+    return results

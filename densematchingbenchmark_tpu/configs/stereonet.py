@@ -17,11 +17,16 @@ def _base(refine_num=1):
         cost_processor=dict(
             type="Difference",
             cost_computation=dict(max_disp=24, start_disp=0, dilation=1),
-            cost_aggregator=dict(type="StereoNet", max_disp=192, num=4),
+            # pack=4: D-packed trunk (24 rows -> 6 at 128-lane convs);
+            # same params, MXU schedule change (ops/conv3d.py)
+            cost_aggregator=dict(type="StereoNet", max_disp=192, num=4,
+                                 pack=4),
         ),
         disp_predictor=dict(type="FASTER", max_disp=24, start_disp=0,
                             dilation=1, alpha=1.0, normalize=True),
-        disp_refinement=dict(type="StereoNet", num=refine_num),
+        # pack=4: full-res edge-aware trunk in the row-packed layout
+        # (ops/conv3d.conv2d_rowpacked; same params, MXU schedule change)
+        disp_refinement=dict(type="StereoNet", num=refine_num, pack=4),
         losses=dict(
             # reference: weights (1.0, 0.5[, ...]) over [refined..., init]
             l1_loss=dict(max_disp=192,

@@ -54,16 +54,34 @@ class PackedBatchNorm(nn.Module):
     use_running_average: bool = True
     momentum: float = 0.9
     epsilon: float = 1e-5
+    # number of true channels; only needed for return_folded (where no
+    # input tensor is available to infer it from)
+    features: int = 0
 
     @nn.compact
-    def __call__(self, xp):
-        c = xp.shape[-1] // self.pack
+    def __call__(self, xp, return_folded=False):
+        """Normal mode: normalize the packed volume.
+
+        return_folded=True (eval only): do not touch xp (may be None) —
+        return the equivalent per-true-channel affine (inv, fold_bias) with
+        BN(y) == y * inv + fold_bias, so the caller can fuse the eval-mode
+        BN into a conv epilogue (ops/pallas/packed_conv3d_kernel.py).
+        Parameter declaration order is identical in both modes, so the
+        variable tree is unchanged.
+        """
+        c = self.features if xp is None else xp.shape[-1] // self.pack
+        assert c > 0, "features required when xp is None"
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
+        if return_folded:
+            assert self.use_running_average, \
+                "folded BN is an eval-only transformation"
+            inv = scale * lax.rsqrt(ra_var.value + self.epsilon)
+            return inv, bias - ra_mean.value * inv
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -181,12 +199,46 @@ class DispatchConv3D(nn.Module):
     pack: int = 1  # > 1: trunk-packed input/output (ops/conv3d.py)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue=None):
+        """epilogue: optional (scale[Co], bias[Co], relu) — a per-channel
+        affine (+ReLU) fused after the conv (eval-mode folded BN). On the
+        packed stride-1 Pallas route the epilogue runs inside the kernel;
+        otherwise it is applied as plain elementwise ops (same math)."""
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             tuple(self.kernel_size) + (x.shape[-1] // self.pack,
                                        self.features),
             jnp.float32)
+        conv_bias = None
+        if self.use_bias:
+            conv_bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+        if epilogue is not None and self.pack > 1:
+            scale, ebias, relu = epilogue
+            # fold the conv bias: (y + b) * s + e == y * s + (b * s + e)
+            full_bias = ebias if conv_bias is None \
+                else conv_bias * scale + ebias
+            if conv3d_ops.packed_pallas_eligible(
+                    x.shape, kernel.shape, tuple(self.strides),
+                    tuple(self.padding), tuple(self.kernel_dilation),
+                    self.pack):
+                from ..ops.pallas.packed_conv3d_kernel import (
+                    conv3d_packed_s1_pallas)
+                h = x.shape[2]
+                h_t = 16 if h % 16 == 0 else 8
+                return conv3d_packed_s1_pallas(
+                    x.astype(self.dtype), kernel.astype(self.dtype),
+                    scale, full_bias, pack=self.pack, relu=relu,
+                    h_tile=h_t)
+            out = conv3d_ops.conv3d_packed(
+                x.astype(self.dtype), kernel.astype(self.dtype), self.pack,
+                strides=tuple(self.strides), padding=tuple(self.padding),
+                dilation=tuple(self.kernel_dilation))
+            out = out.astype(jnp.float32) * jnp.tile(scale, self.pack) \
+                + jnp.tile(full_bias, self.pack)
+            if relu:
+                out = nn.relu(out)
+            return out.astype(self.dtype)
         if self.pack > 1:
             out = conv3d_ops.conv3d_packed(
                 x.astype(self.dtype), kernel.astype(self.dtype), self.pack,
@@ -197,13 +249,39 @@ class DispatchConv3D(nn.Module):
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 strides=tuple(self.strides), padding=tuple(self.padding),
                 dilation=tuple(self.kernel_dilation))
+        if conv_bias is not None:
+            if self.pack > 1:
+                out = out + jnp.tile(conv_bias, self.pack).astype(self.dtype)
+            else:
+                out = out + conv_bias.astype(self.dtype)
+        return out
+
+
+class DispatchConv2D(nn.Module):
+    """nn.Conv (2-D, 3x3/s1/pad==dilation) replacement on ROW-PACKED
+    images [B, H/pack, W, pack*C] via ops/conv3d.conv2d_rowpacked — the
+    full-resolution lane-starvation fix for refinement/backbone 2-D convs
+    (same economics as the 3-D trunk packing). Parameter names/shapes match
+    nn.Conv ("kernel" [3,3,I,O], "bias") so checkpoints are compatible.
+    """
+    features: int
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    pack: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1] // self.pack, self.features), jnp.float32)
+        out = conv3d_ops.conv2d_rowpacked(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.pack,
+            (self.dilation, self.dilation))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
-            if self.pack > 1:
-                out = out + jnp.tile(bias, self.pack).astype(self.dtype)
-            else:
-                out = out + bias.astype(self.dtype)
+            out = out + jnp.tile(bias, self.pack).astype(self.dtype)
         return out
 
 
@@ -251,6 +329,26 @@ class ConvUnit(nn.Module):
             x = norm(x)
             x = nn.relu(x) if self.relu else x
 
+        # Eval-mode conv+BN+ReLU fusion on the packed 3-D path: fold the
+        # running-stat BN into a per-channel affine and hand it to the conv
+        # as an epilogue (runs inside the Pallas kernel when that schedule
+        # is active, as plain elementwise ops otherwise — same math either
+        # way, so this is a pure fusion, not a numerics change).
+        if (self.pack > 1 and self.dims == 3 and self.batch_norm
+                and not self.pre_norm and not self.transpose and not train):
+            inv, fold_bias = PackedBatchNorm(
+                pack=self.pack, use_running_average=True,
+                features=self.features, name="BatchNorm_0")(
+                    None, return_folded=True)
+            padding, dilation = consistent_padding_with_dilation(
+                self.padding, self.dilation, self.dims)
+            return DispatchConv3D(
+                features=self.features, kernel_size=_tuple(self.kernel_size, 3),
+                strides=_tuple(self.stride, 3), padding=padding,
+                kernel_dilation=dilation, use_bias=self.bias,
+                dtype=self.dtype, pack=self.pack, name="Conv_0")(
+                    x, epilogue=(inv, fold_bias, self.relu)).astype(self.dtype)
+
         if self.transpose:
             x = ConvTransposeExact(
                 features=self.features, kernel_size=self.kernel_size,
@@ -268,6 +366,16 @@ class ConvUnit(nn.Module):
                     strides=_tuple(self.stride, 3), padding=padding,
                     kernel_dilation=dilation, use_bias=self.bias,
                     dtype=self.dtype, pack=self.pack, name="Conv_0")(x)
+            elif self.dims == 2 and self.pack > 1:
+                # row-packed 2-D schedule: 3x3 s1 'same' dilated convs only
+                assert (_tuple(self.kernel_size, 2) == (3, 3)
+                        and _tuple(self.stride, 2) == (1, 1)
+                        and tuple(padding) == tuple(dilation)), (
+                    self.kernel_size, self.stride, padding, dilation)
+                x = DispatchConv2D(
+                    features=self.features, dilation=dilation[0],
+                    use_bias=self.bias, dtype=self.dtype, pack=self.pack,
+                    name="Conv_0")(x)
             else:
                 x = nn.Conv(
                     features=self.features,
@@ -284,15 +392,17 @@ class ConvUnit(nn.Module):
 
 
 def conv_bn(batch_norm, features, kernel_size=3, stride=1, padding=1,
-            dilation=1, bias=True, dtype=jnp.float32):
+            dilation=1, bias=True, dtype=jnp.float32, pack=1):
     return ConvUnit(features, kernel_size, stride, padding, dilation, dims=2,
-                    batch_norm=batch_norm, relu=False, bias=bias, dtype=dtype)
+                    batch_norm=batch_norm, relu=False, bias=bias, dtype=dtype,
+                    pack=pack)
 
 
 def conv_bn_relu(batch_norm, features, kernel_size=3, stride=1, padding=1,
-                 dilation=1, bias=True, dtype=jnp.float32):
+                 dilation=1, bias=True, dtype=jnp.float32, pack=1):
     return ConvUnit(features, kernel_size, stride, padding, dilation, dims=2,
-                    batch_norm=batch_norm, relu=True, bias=bias, dtype=dtype)
+                    batch_norm=batch_norm, relu=True, bias=bias, dtype=dtype,
+                    pack=pack)
 
 
 def bn_relu_conv(batch_norm, features, kernel_size=3, stride=1, padding=1,
@@ -346,7 +456,10 @@ def deconv_bn_relu(batch_norm, features, kernel_size=4, stride=2, padding=1,
 
 
 class BasicBlock(nn.Module):
-    """ResNet basic block (basic_layers.py:217-243). expansion = 1."""
+    """ResNet basic block (basic_layers.py:217-243). expansion = 1.
+
+    pack > 1: input/output live in the row-packed layout
+    [B, H/pack, W, pack*C] (stride-1 'same' blocks only)."""
     features: int
     stride: int = 1
     padding: int = 1
@@ -354,14 +467,16 @@ class BasicBlock(nn.Module):
     batch_norm: bool = True
     downsample: bool = False
     dtype: Any = jnp.float32
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out = conv_bn_relu(self.batch_norm, self.features, 3, self.stride,
                            self.padding, self.dilation, bias=False,
-                           dtype=self.dtype)(x, train)
+                           dtype=self.dtype, pack=self.pack)(x, train)
         out = conv_bn(self.batch_norm, self.features, 3, 1, self.padding,
-                      self.dilation, bias=False, dtype=self.dtype)(out, train)
+                      self.dilation, bias=False, dtype=self.dtype,
+                      pack=self.pack)(out, train)
         if self.downsample:
             x = conv_bn(self.batch_norm, self.features, 1, self.stride, 0, 1,
                         dtype=self.dtype)(x, train)

@@ -84,6 +84,22 @@ def get_packed_schedules():
     return {"classify": _PACKED_CLASSIFY, "s1": _PACKED_S1}
 
 
+def packed_pallas_eligible(x_shape, kernel_shape, strides, padding,
+                           dilation, pack):
+    """True when the packed stride-1 conv routes to the Pallas true-MAC
+    kernel (opt-in via set_packed_schedules(s1='pallas'); accelerator
+    backend; k3/s1/p1/d1; Co>1; even pack; H divisible by the tile)."""
+    if _PACKED_S1 != "pallas":
+        return False
+    kd, kh, kw, ci, co = kernel_shape
+    if not (strides == (1, 1, 1) and padding == (1, 1, 1)
+            and dilation == (1, 1, 1) and (kd, kh, kw) == (3, 3, 3)
+            and co > 1 and pack % 2 == 0 and x_shape[2] % 8 == 0):
+        return False
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def use_tapped() -> bool:
     return _IMPL == "tapped"
 
@@ -292,16 +308,12 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
         for hq in (32, 16, 8):
             if h % hq == 0:
                 return conv3d_packed_classify(xp, kernel, pack, hq)
-    if _PACKED_S1 == "pallas" and s1_plain and co > 1 and pack % 2 == 0:
-        import jax
+    if packed_pallas_eligible(xp.shape, kernel.shape, strides, padding,
+                              dilation, pack):
+        from .pallas.packed_conv3d_kernel import conv3d_packed_s1_pallas
         h = xp.shape[2]
-        if jax.default_backend() != "cpu":
-            for h_t in (16, 8):
-                if h % h_t == 0:
-                    from .pallas.packed_conv3d_kernel import (
-                        conv3d_packed_s1_pallas)
-                    return conv3d_packed_s1_pallas(xp, kernel, pack=pack,
-                                                   h_tile=h_t)
+        h_t = 16 if h % 16 == 0 else 8
+        return conv3d_packed_s1_pallas(xp, kernel, pack=pack, h_tile=h_t)
     if sd == 1 and (_PACKED_S1 == "hpack"
                     or (_PACKED_S1 == "auto" and ci >= 2 * co)):
         return conv3d_hpack(xp, kernel, pack, strides, padding, dilation)
@@ -682,3 +694,72 @@ def conv3d_transpose_tapped(x, kernel, strides, padding, output_padding):
         src = lax.slice_in_dim(y2[..., t, :], di_min, di_min + n, axis=1)
         out = out.at[:, do_start:do_start + sd * (n - 1) + 1:sd].add(src)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 2-D row-packed schedule: the H axis of [B, H, W, C] images plays the same
+# role D plays in the trunk-packed 3-D schedule. Full-resolution 2-D convs
+# with 32 channels (StereoNet edge-aware refinement, backbone stages) leave
+# 3/4 of the MXU idle; packing P consecutive rows into channels runs them
+# 128-lane at P x the dense MACs — the measured-winning trade for the 3-D
+# trunk (DESIGN.md §3). Supports 3x3 stride-1 convs with pad == dilation
+# (the reference's 'same' dilated-conv convention, basic_layers.py:14-28);
+# H-dilation folds into the packed-row window (offsets d*(t-1) land on
+# packed-row/slot pairs), W-dilation passes through.
+
+
+def pack_rows2d(x, pack):
+    """[B, H, W, C] -> row-packed [B, H/pack, W, pack*C]."""
+    b, h, w, c = x.shape
+    assert h % pack == 0, (h, pack)
+    xp = x.reshape(b, h // pack, pack, w, c)
+    return jnp.moveaxis(xp, 2, 3).reshape(b, h // pack, w, pack * c)
+
+
+def unpack_rows2d(xp, pack):
+    """Row-packed [B, R, W, pack*C] -> [B, R*pack, W, C]."""
+    b, r, w, pc = xp.shape
+    c = pc // pack
+    x = xp.reshape(b, r, w, pack, c)
+    return jnp.moveaxis(x, 3, 2).reshape(b, r * pack, w, c)
+
+
+def rowpack_kernel(kernel, pack, dil_h=1):
+    """[3, kw, Ci, Co] -> packed-row kernel [wr, kw, P*Ci, P*Co].
+
+    Output slot q, H-tap t (offset d*(t-1)) reads slot p of window row tj:
+    P*(tj - lo) + p - q == d*(t-1), lo = ceil(d/P) (window wr = 2*lo + 1,
+    apply with row padding (lo, lo)).
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kh == 3, kernel.shape
+    lo = -(-dil_h // pack)
+    wr = 2 * lo + 1
+    kp = jnp.zeros((wr, kw, pack * ci, pack * co), kernel.dtype)
+    for tj in range(wr):
+        for p in range(pack):
+            for q in range(pack):
+                off = pack * (tj - lo) + p - q
+                if off % dil_h == 0 and abs(off) <= dil_h:
+                    t = off // dil_h + 1
+                    kp = kp.at[tj, :, p * ci:(p + 1) * ci,
+                               q * co:(q + 1) * co].set(kernel[t])
+    return kp
+
+
+def conv2d_rowpacked(xp, kernel, pack, dilation=(1, 1)):
+    """3x3 stride-1 conv (pad == dilation) on a row-packed image.
+
+    xp: [B, R, W, P*Ci]; kernel: [3, 3, Ci, Co]. Returns the row-packed
+    output [B, R, W, P*Co]; semantics == lax.conv_general_dilated on the
+    unpacked image with padding (dil_h, dil_w), rhs_dilation dilation.
+    """
+    kh, kw, ci, co = kernel.shape
+    dh, dw = dilation
+    assert kh == 3 and kw == 3, kernel.shape
+    assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
+    lo = -(-dh // pack)
+    kp = rowpack_kernel(kernel, pack, dh)
+    return lax.conv_general_dilated(
+        xp, kp, window_strides=(1, 1), padding=[(lo, lo), (dw, dw)],
+        rhs_dilation=(1, dw), dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -157,3 +157,69 @@ def test_packed_gc_aggregator_train_parity():
         np.testing.assert_allclose(np.asarray(flat_g[path]),
                                    np.asarray(leaf), rtol=1e-4, atol=1e-4,
                                    err_msg=str(path))
+
+
+def test_stereonet_aggregator_packed_matches_unpacked():
+    """StereoNetAggregator pack=4 == pack=1 on identical params (pure MXU
+    schedule change; reference aggregators/StereoNet.py:9-55 workload)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.models.aggregators.stereonet import (
+        StereoNetAggregator)
+
+    rng = np.random.RandomState(0)
+    raw = jnp.asarray(rng.randn(2, 8, 8, 12, 6) * 0.3, jnp.float32)
+    a1 = StereoNetAggregator(max_disp=64, num=4, batch_norm=True, pack=1)
+    a4 = StereoNetAggregator(max_disp=64, num=4, batch_norm=True, pack=4)
+    variables = a1.init(jax.random.PRNGKey(0), raw, train=False)
+
+    # same variable tree across pack settings (checkpoint compatibility)
+    v4 = a4.init(jax.random.PRNGKey(0), raw, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v4)
+
+    r1 = a1.apply(variables, raw, train=False)
+    r4 = a4.apply(variables, raw, train=False)
+    np.testing.assert_allclose(np.asarray(r4[0]), np.asarray(r1[0]),
+                               rtol=2e-4, atol=2e-4)
+
+    # train mode: batch stats update identically
+    _, s1 = a1.apply(variables, raw, train=True, mutable=["batch_stats"])
+    _, s4 = a4.apply(variables, raw, train=True, mutable=["batch_stats"])
+    for l1, l4 in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_edge_aware_refinement_rowpacked_matches_unpacked():
+    """EdgeAwareRefinement pack=4 == pack=1 on identical params (row-packed
+    2-D trunk; reference edge_aware.py:8-69 workload incl. dilations
+    1,2,4,8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.models.refinement.stereonet import (
+        EdgeAwareRefinement)
+
+    rng = np.random.RandomState(1)
+    left = jnp.asarray(rng.rand(1, 32, 24, 3), jnp.float32)
+    disp = jnp.asarray(rng.rand(1, 16, 12, 1) * 8, jnp.float32)
+    r1 = EdgeAwareRefinement(batch_norm=True, pack=1)
+    r4 = EdgeAwareRefinement(batch_norm=True, pack=4)
+    variables = r1.init(jax.random.PRNGKey(0), disp, left, train=False)
+    v4 = r4.init(jax.random.PRNGKey(0), disp, left, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v4)
+
+    o1 = r1.apply(variables, disp, left, train=False)
+    o4 = r4.apply(variables, disp, left, train=False)
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+
+    # train-mode batch stats identical (PackedBatchNorm over true channels)
+    _, s1 = r1.apply(variables, disp, left, train=True,
+                     mutable=["batch_stats"])
+    _, s4 = r4.apply(variables, disp, left, train=True,
+                     mutable=["batch_stats"])
+    for l1, l4 in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)

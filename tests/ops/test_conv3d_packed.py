@@ -142,3 +142,34 @@ def test_conv3d_hpack_classify_benchform_parity():
     got = unpack_volume(conv3d_hpack_classify(pack_volume(x, 4), k, 4, 8), 4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("pack,dil", [(4, 1), (4, 2), (4, 4), (4, 8),
+                                      (2, 3)])
+def test_conv2d_rowpacked_parity(pack, dil):
+    """Row-packed 2-D dilated conv == dense conv2d (pad = dilation), the
+    schedule for full-res refinement/backbone convs (reference
+    edge_aware.py dilations 1,2,4,8)."""
+    import jax
+    from densematchingbenchmark_tpu.ops.conv3d import (
+        pack_rows2d, unpack_rows2d, conv2d_rowpacked)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 16, 11, 5) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 5, 6) * 0.2, jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, k, (1, 1), [(dil, dil), (dil, dil)], rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = unpack_rows2d(
+        conv2d_rowpacked(pack_rows2d(x, pack), k, pack, (dil, dil)), pack)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients route through the block-sparse packed kernel correctly
+    gref = jax.grad(lambda k_: jnp.sum(lax.conv_general_dilated(
+        x, k_, (1, 1), [(dil, dil), (dil, dil)], rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(k)
+    gpk = jax.grad(lambda k_: jnp.sum(conv2d_rowpacked(
+        pack_rows2d(x, pack), k_, pack, (dil, dil)) ** 2))(k)
+    np.testing.assert_allclose(np.asarray(gpk), np.asarray(gref),
+                               rtol=1e-3, atol=1e-3)

@@ -57,6 +57,29 @@ def main():
     lefts = sorted(glob.glob(osp.join(args.data_dir, "left", "*")))
     assert lefts, f"no images under {args.data_dir}/left"
 
+    if cfg.get("task") == "flow":
+        # flow demo: frame pairs -> .flo + color-wheel PNG per pair
+        from densematchingbenchmark_tpu.apis import (init_flow_model,
+                                                     inference_flow)
+        from densematchingbenchmark_tpu.flow.vis import SaveFlowResultTool
+        model = init_flow_model(cfg, checkpoint_dir=args.work_dir)
+        save = SaveFlowResultTool(args.out_dir)
+        os.makedirs(args.out_dir, exist_ok=True)
+        for lpath in lefts:
+            rpath = osp.join(args.data_dir, "right", osp.basename(lpath))
+            left, right = io.load_image(lpath), io.load_image(rpath)
+            h, w = left.shape[:2]
+            th, tw = args.pad_to or (((h + 63) // 64) * 64,
+                                     ((w + 63) // 64) * 64)
+            res = inference_flow(
+                model, [{"leftImage": left, "rightImage": right}],
+                pad_to_shape=(th, tw))
+            name = osp.splitext(osp.basename(lpath))[0]
+            save(name, res[0]["flows"][0])
+            print(f"{name}: flow saved")
+        print(f"results in {args.out_dir}")
+        return
+
     model = build_model(cfg)
     variables = None
     forward = None
