@@ -21,23 +21,33 @@ class PSMNetBackbone(nn.Module):
     in_planes: int = 3
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    # pack > 1: run the lane-starved 32-channel half-resolution section
+    # (firstconv[1:] + layer1) in the row-packed layout
+    # (ops/conv3d.conv2d_rowpacked). Requires H/2 % pack == 0 (all shipped
+    # train/eval shapes satisfy it); same params as unpacked.
+    pack: int = 0
 
     def setup(self):
         bn, dt = self.batch_norm, self.dtype
+        pk = self.pack if self.pack and self.pack > 1 else 1
         self.firstconv = [conv_bn_relu(bn, 32, 3, 2, 1, 1, bias=False, dtype=dt),
-                          conv_bn_relu(bn, 32, 3, 1, 1, 1, bias=False, dtype=dt),
-                          conv_bn_relu(bn, 32, 3, 1, 1, 1, bias=False, dtype=dt)]
+                          conv_bn_relu(bn, 32, 3, 1, 1, 1, bias=False,
+                                       dtype=dt, pack=pk),
+                          conv_bn_relu(bn, 32, 3, 1, 1, 1, bias=False,
+                                       dtype=dt, pack=pk)]
 
-        def layer(out_planes, blocks, stride, padding, dilation, in_planes):
+        def layer(out_planes, blocks, stride, padding, dilation, in_planes,
+                  pack=1):
             mods = [BasicBlock(out_planes, stride, padding, dilation, bn,
                                downsample=(stride != 1 or
                                            in_planes != out_planes),
-                               dtype=dt)]
+                               dtype=dt, pack=pack)]
             mods += [BasicBlock(out_planes, 1, padding, dilation, bn,
-                                dtype=dt) for _ in range(blocks - 1)]
+                                dtype=dt, pack=pack)
+                     for _ in range(blocks - 1)]
             return mods
 
-        self.layer1 = layer(32, 3, 1, 1, 1, 32)
+        self.layer1 = layer(32, 3, 1, 1, 1, 32, pack=pk)
         self.layer2 = layer(64, 16, 2, 1, 1, 32)
         self.layer3 = layer(128, 3, 1, 1, 1, 64)
         self.layer4 = layer(128, 3, 1, 2, 2, 128)
@@ -52,10 +62,18 @@ class PSMNetBackbone(nn.Module):
                                  param_dtype=jnp.float32)
 
     def _forward(self, x, train):
-        for m in self.firstconv:
-            x = m(x, train)                      # 1/2
+        from ...ops.conv3d import pack_rows2d, unpack_rows2d
+        pk = self.pack if self.pack and self.pack > 1 else 1
+        x = self.firstconv[0](x, train)          # 1/2
+        if pk > 1:
+            assert x.shape[1] % pk == 0, (x.shape, pk)
+            x = pack_rows2d(x, pk)
+        for m in self.firstconv[1:]:
+            x = m(x, train)
         for m in self.layer1:
             x = m(x, train)
+        if pk > 1:
+            x = unpack_rows2d(x, pk)
         out_4_0 = x
         for m in self.layer2:
             out_4_0 = m(out_4_0, train)          # 1/4

@@ -223,3 +223,25 @@ def test_edge_aware_refinement_rowpacked_matches_unpacked():
     for l1, l4 in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
         np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_psmnet_backbone_rowpacked_matches_unpacked():
+    """PSMNetBackbone pack=4 (row-packed firstconv[1:] + layer1) == pack=1
+    on identical params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.models.backbones.psmnet import (
+        PSMNetBackbone)
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    b1 = PSMNetBackbone(in_planes=3, batch_norm=True, pack=1)
+    b4 = PSMNetBackbone(in_planes=3, batch_norm=True, pack=4)
+    variables = b1.init(jax.random.PRNGKey(0), x, x, train=False)
+    v4 = b4.init(jax.random.PRNGKey(0), x, x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v4)
+    o1, _ = b1.apply(variables, x, x, train=False)
+    o4, _ = b4.apply(variables, x, x, train=False)
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
