@@ -232,3 +232,135 @@ def _bwd(pack, relu, h_tile, interpret, res, g):
 
 
 _pallas_vjp.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: rolling-window manual DMA. The BlockSpec version above reads every
+# packed row 3x (as prev/cur/next of three grid steps); this variant grids
+# over (B, H/h_t) only, keeps the input in HBM, and streams rows through a
+# VMEM ring of 4 slots (double-buffered: row r+1 prefetches while row r
+# computes), so each row is read once per H-tile — input traffic drops from
+# 3(1+2/h_t)x to (1+2/h_t)x of the volume. Same matmul/epilogue math as v1.
+
+
+def _kernel_v2(x_hbm, w_ref, scale_ref, bias_ref, out_ref, buf, sems, *,
+               h_t, w, r_rows, pack, ci, co, relu):
+    """x_hbm: [B, R+2, Hp, Wp, P*Ci] (pre-padded) resident in HBM.
+    buf: VMEM ring [4, h_t+2, Wp, P*Ci]; sems: 4 DMA semaphores.
+    Grid (B, H/h_t); loops packed rows 0..R-1 internally."""
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    wp = w + 2
+    pci = pack * ci
+
+    def row_dma(slot, rr):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, rr, pl.ds(k * h_t, h_t + 2)],
+            buf.at[slot], sems.at[slot])
+
+    # warm up: rows 0, 1, 2 of the padded volume into slots 0..2; rows 0, 1
+    # are waited here, each later row exactly once inside the loop (a DMA
+    # semaphore signals once — double-waiting would deadlock)
+    for rr in range(3):
+        row_dma(rr, rr).start()
+    row_dma(0, 0).wait()
+    row_dma(1, 1).wait()
+
+    def body(r, _):
+        # prefetch row r+3 into the retired slot ((r-1) % 4, unreferenced)
+        @pl.when(r + 3 < r_rows + 2)
+        def _():
+            row_dma((r + 3) % 4, r + 3).start()
+        row_dma((r + 2) % 4, r + 2).wait()  # newest row for this window
+
+        slabs = [buf[(r + dr) % 4] for dr in range(3)]
+        wide = jnp.concatenate(slabs, axis=-1)      # [h_t+2, Wp, 3*P*Ci]
+        outs = []
+        for qw in range(pack // 2):
+            start = (2 * qw + pack - 1) * ci
+            xw = wide[:, :, start:start + 4 * ci]
+            xw = xw.reshape((h_t + 2) * wp, 4 * ci)
+            z = jnp.dot(xw, w_ref[...],
+                        preferred_element_type=jnp.float32)
+            z = z.reshape(h_t + 2, wp, 2 * 9 * co)
+            for s in range(2):
+                acc = z[0:h_t, 0:w, (s * 9) * co:(s * 9) * co + co] * 0
+                for th in range(3):
+                    for tw in range(3):
+                        base = (s * 9 + th * 3 + tw) * co
+                        acc = acc + z[th:th + h_t, tw:tw + w,
+                                      base:base + co]
+                outs.append(acc)
+        y = jnp.concatenate(outs, axis=-1)
+        y = y * scale_ref[0] + bias_ref[0]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[0, r, 0] = y.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, r_rows, body, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pack", "relu", "h_tile", "interpret", "out_dtype"))
+def _forward_v2(xp, wmat, scale, bias, pack, relu, h_tile, interpret,
+                out_dtype):
+    b, r, h, w, pci = xp.shape
+    ci = pci // pack
+    co = wmat.shape[1] // 18
+    h_t = h_tile
+    assert h % h_t == 0, (h, h_t)
+    xpad = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    wp = w + 2
+
+    wmat = wmat.astype(xp.dtype)
+    scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32),
+                             (pack * co,)).reshape(1, pack * co)
+    bias = jnp.broadcast_to(jnp.asarray(bias, jnp.float32),
+                            (pack * co,)).reshape(1, pack * co)
+
+    grid = (b, h // h_t)
+    out5 = pl.pallas_call(
+        functools.partial(_kernel_v2, h_t=h_t, w=w, r_rows=r, pack=pack,
+                          ci=ci, co=co, relu=relu),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((4 * ci, 18 * co), lambda i, k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, pack * co), lambda i, k: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, pack * co), lambda i, k: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, r, 1, h_t, w, pack * co),
+                               lambda i, k: (i, 0, k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, r, h // h_t, h_t, w, pack * co),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, h_t + 2, wp, pci), xp.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * pack * h * w * 27 * ci * co,
+            bytes_accessed=xpad.size * xpad.dtype.itemsize
+            + b * r * h * w * pack * co * 2,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(xpad, wmat, scale, bias)
+    # [B, R, H/h_t, h_t, W, PC] -> [B, R, H, W, PC]
+    return out5.reshape(b, r, h, w, pack * co)
+
+
+def conv3d_packed_s1_pallas_v2(xp, kernel, scale=1.0, bias=0.0, pack=4,
+                               relu=False, h_tile=8, interpret=False):
+    """Rolling-DMA variant of conv3d_packed_s1_pallas (same contract; no
+    custom VJP — inference-only A/B candidate)."""
+    co = kernel.shape[-1]
+    ci = xp.shape[-1] // pack
+    wmat = window_weights(kernel, ci)
+    return _forward_v2(xp, wmat, _full_epilogue(scale, pack, co),
+                       _full_epilogue(bias, pack, co), pack, relu, h_tile,
+                       interpret, jnp.dtype(xp.dtype).name)

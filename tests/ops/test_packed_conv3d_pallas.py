@@ -78,3 +78,28 @@ def test_pallas_packed_s1_grad():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_d),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("pack,ci,co,shape", [
+    (4, 5, 7, (1, 8, 8, 6)),
+    (2, 6, 4, (2, 8, 16, 5)),
+])
+def test_pallas_packed_s1_v2_parity(pack, ci, co, shape):
+    """Rolling-DMA variant == dense conv (interpret mode drives the manual
+    DMA ring + semaphores)."""
+    from densematchingbenchmark_tpu.ops.pallas.packed_conv3d_kernel import (
+        conv3d_packed_s1_pallas_v2)
+
+    b, d, h, w = shape
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(b, d, h, w, ci) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, ci, co) * 0.2, jnp.float32)
+    scale = jnp.asarray(rng.rand(co) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(co), jnp.float32)
+    ref = jnp.maximum(_dense(x, k) * scale + bias, 0.0)
+    got = unpack_volume(
+        conv3d_packed_s1_pallas_v2(pack_volume(x, pack), k, scale, bias,
+                                   pack=pack, relu=True, h_tile=4,
+                                   interpret=True), pack)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -28,6 +28,8 @@ BASELINES_FPS = {  # GTX1080Ti, BASELINE.md
     "DeepPruner/scene_flow_8x": 7.67,
     "GCNet/scene_flow": None,
     "AnyNet/scene_flow": None,
+    # flow family — no reference baseline (its flow registry is empty)
+    "PWCFlow/flying_chairs": None,
 }
 
 
@@ -40,6 +42,7 @@ def bench_one(name, h, w, dtype, iters):
 
     cfg = get_config(name, **{"model.dtype": dtype})
     model = build_model(cfg)
+    out_key = "flows" if cfg.get("task") == "flow" else "disps"
     left = jnp.zeros((1, h, w, 3), jnp.float32)
     # init at a small spatial shape (params/stats are shape-independent):
     # full-res eager init can OOM (unfused 1-channel intermediates)
@@ -49,7 +52,7 @@ def bench_one(name, h, w, dtype, iters):
                    for p in jax.tree.leaves(variables["params"]))
 
     fwd = jax.jit(lambda l, r: model.apply(variables, l, r,
-                                           train=False)["disps"][0])
+                                           train=False)[out_key][0])
     lowered = fwd.lower(left, left)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
@@ -134,6 +137,8 @@ def main():
         # "Model Info"); its Fast backbone needs W % 32 == 0
         width = 1280 if name.startswith("DeepPruner") and args.width == 1248 \
             else args.width
+        if name.startswith("PWCFlow") and args.width == 1248:
+            width = 1280  # flow pyramid needs W % 16 == 0
         try:
             if args.train:
                 row = bench_train(name, args.height, width, args.batch,

@@ -42,7 +42,7 @@ def main():
     from densematchingbenchmark_tpu.ops.conv3d import (
         pack_volume, dpack_kernel)
     from densematchingbenchmark_tpu.ops.pallas.packed_conv3d_kernel import (
-        conv3d_packed_s1_pallas)
+        conv3d_packed_s1_pallas, conv3d_packed_s1_pallas_v2)
     from jax import lax
 
     dt = jnp.dtype(args.dtype)
@@ -83,20 +83,21 @@ def main():
         for h_t in args.h_tiles:
             if h % h_t:
                 continue
+            for label, fn in (("v1", conv3d_packed_s1_pallas),
+                              ("v2", conv3d_packed_s1_pallas_v2)):
+                @jax.jit
+                def pl_fn(v, h_t=h_t, fn=fn):
+                    return rechain(fn(v, k, pack=P, h_tile=h_t))
 
-            @jax.jit
-            def pl_fn(v, h_t=h_t):
-                return rechain(conv3d_packed_s1_pallas(
-                    v, k, pack=P, h_tile=h_t))
-
-            try:
-                t_p = timeit(pl_fn, xp, args.iters)
-                print(f"{name}: pallas h_t={h_t:<2d} {t_p*1e3:7.3f} ms "
-                      f"({true_gflop/t_p/1e3:6.1f} true-TF/s)  "
-                      f"{t_x/t_p:4.2f}x")
-            except Exception as e:
-                print(f"{name}: pallas h_t={h_t} FAILED: "
-                      f"{type(e).__name__}: {str(e)[:200]}")
+                try:
+                    t_p = timeit(pl_fn, xp, args.iters)
+                    print(f"{name}: pallas-{label} h_t={h_t:<2d} "
+                          f"{t_p*1e3:7.3f} ms "
+                          f"({true_gflop/t_p/1e3:6.1f} true-TF/s)  "
+                          f"{t_x/t_p:4.2f}x")
+                except Exception as e:
+                    print(f"{name}: pallas-{label} h_t={h_t} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":
