@@ -88,7 +88,7 @@ def _kernel(x00, x01, x10, x11, x20, x21, w_ref, scale_ref, bias_ref,
                     preferred_element_type=jnp.float32)   # [M, 2*9*Co]
         z = z.reshape(h_t + 2, wp, 2 * 9 * co)
         for s in range(2):
-            acc = z[0 + 0:h_t, 0:w, (s * 9) * co:(s * 9) * co + co] * 0
+            acc = jnp.zeros((h_t, w, co), jnp.float32)
             for th in range(3):
                 for tw in range(3):
                     base = (s * 9 + th * 3 + tw) * co
@@ -284,7 +284,7 @@ def _kernel_v2(x_hbm, w_ref, scale_ref, bias_ref, out_ref, buf, sems, *,
                         preferred_element_type=jnp.float32)
             z = z.reshape(h_t + 2, wp, 2 * 9 * co)
             for s in range(2):
-                acc = z[0:h_t, 0:w, (s * 9) * co:(s * 9) * co + co] * 0
+                acc = jnp.zeros((h_t, w, co), jnp.float32)
                 for th in range(3):
                     for tw in range(3):
                         base = (s * 9 + th * 3 + tw) * co

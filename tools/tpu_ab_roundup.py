@@ -73,17 +73,14 @@ def main():
     print("\n=== end-to-end A/B (384x1248 b1, bf16) ===")
     record("PSMNet baseline (xla packed)",
            lambda: bench_model("PSMNet/scene_flow", args.iters))
-    for h_t in (8, 16):
-        def run(h_t=h_t):
-            c3.set_packed_schedules(s1="pallas")
-            try:
-                # h_tile is chosen inside dispatch (16 if H%16==0 else 8);
-                # force via monkeypatching eligibility for h_t=8 if needed
-                return bench_model("PSMNet/scene_flow", args.iters)
-            finally:
-                c3.set_packed_schedules(s1="auto")
-        record(f"PSMNet s1=pallas (h_tile auto, run {h_t})", run)
-        break  # dispatch picks h_tile internally; one run suffices
+    def psm_pallas():
+        # h_tile is chosen inside the dispatch (16 when H % 16 == 0)
+        c3.set_packed_schedules(s1="pallas")
+        try:
+            return bench_model("PSMNet/scene_flow", args.iters)
+        finally:
+            c3.set_packed_schedules(s1="auto")
+    record("PSMNet s1=pallas", psm_pallas)
     record("StereoNet-4stage baseline",
            lambda: bench_model("StereoNet/scene_flow_8x_4stage", args.iters))
     record("StereoNet-4stage refinement rowpack=4",
