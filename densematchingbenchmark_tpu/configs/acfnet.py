@@ -13,7 +13,8 @@ from .psmnet import _apply_overrides, _BASE
 def _base(adaptive):
     cfg = copy.deepcopy(_BASE)
     cfg["model"].update(
-        backbone=dict(type="PSMNet", in_planes=3),
+        # backbone pack=4: see configs/psmnet.py (measured v5e win)
+        backbone=dict(type="PSMNet", in_planes=3, pack=4),
         cost_processor=dict(
             type="Concatenation",
             cost_computation=dict(max_disp=48, start_disp=0, dilation=1),

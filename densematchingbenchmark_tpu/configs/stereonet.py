@@ -24,11 +24,11 @@ def _base(refine_num=1):
         ),
         disp_predictor=dict(type="FASTER", max_disp=24, start_disp=0,
                             dilation=1, alpha=1.0, normalize=True),
-        # pack=4 would run the full-res edge-aware trunk row-packed
-        # (ops/conv3d.conv2d_rowpacked; same params). Default 0 until the
-        # on-chip A/B: the d=8 dilated block pays a 5-row packed window
-        # (6.7x MACs), so the net sign needs measurement.
-        disp_refinement=dict(type="StereoNet", num=refine_num, pack=0),
+        # pack=4: full-res edge-aware trunk in the row-packed layout
+        # (ops/conv3d.conv2d_rowpacked; same params). Measured on v5e:
+        # 4-stage 40.4 -> 19.5 ms (24.7 -> 51.2 FPS, 2.07x) at 384x1248.
+        # Requires H % 4 == 0 (shipped shapes all qualify).
+        disp_refinement=dict(type="StereoNet", num=refine_num, pack=4),
         losses=dict(
             # reference: weights (1.0, 0.5[, ...]) over [refined..., init]
             l1_loss=dict(max_disp=192,

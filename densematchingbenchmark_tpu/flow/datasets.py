@@ -38,9 +38,11 @@ class FlyingChairsDataset:
                                               item["right_image_path"])),
         }
         sample["original_size"] = sample["leftImage"].shape[:2]
-        if item.get("flow_map_path"):
-            sample["flow"] = load_flo(osp.join(self.root,
-                                               item["flow_map_path"]))
+        # reference annotations use 'flow_path'
+        # (dmb flying_chairs/base.py:26); accept both spellings
+        flow_path = item.get("flow_map_path") or item.get("flow_path")
+        if flow_path:
+            sample["flow"] = load_flo(osp.join(self.root, flow_path))
         if self.transform is not None:
             sample = self.transform(sample, rng)
         return sample

@@ -66,33 +66,57 @@ def window_weights(kernel, ci=None):
 
 
 def _kernel(x00, x01, x10, x11, x20, x21, w_ref, scale_ref, bias_ref,
-            out_ref, *, h_t, w, pack, ci, co, relu):
+            out_ref, *, h_t, w, pack, ci, co, relu, variant="full"):
     """x{dr}{0,1}: [1,1,h_t,Wp,P*Ci] main/halo blocks for packed row r-1+dr.
 
     Assembles the 3-row lane concat, then per 2-slot window: lane-slice the
     4-depth-slice K band, one MXU matmul to tap-expanded z, VPU shifted-add
     over the 9 spatial taps, fused scale/bias/ReLU epilogue.
+
+    variant: measurement-only ablations (WRONG numerics except "full"):
+      "noshift" — epilogue adds without the sublane/lane offsets;
+      "nocat"   — matmul fed from one input block (skips concat+slice).
     """
     wp = w + 2
-    slabs = []
-    for main, halo in ((x00, x01), (x10, x11), (x20, x21)):
-        slabs.append(jnp.concatenate([main[0, 0], halo[0, 0, :2]], axis=0))
-    wide = jnp.concatenate(slabs, axis=-1)        # [h_t+2, Wp, 3*P*Ci]
+    if variant != "nocat":
+        slabs = []
+        for main, halo in ((x00, x01), (x10, x11), (x20, x21)):
+            slabs.append(jnp.concatenate([main[0, 0], halo[0, 0, :2]],
+                                         axis=0))
+        wide = jnp.concatenate(slabs, axis=-1)    # [h_t+2, Wp, 3*P*Ci]
 
     outs = []
     for qw in range(pack // 2):
-        start = (2 * qw + pack - 1) * ci
-        xw = wide[:, :, start:start + 4 * ci]
-        xw = xw.reshape((h_t + 2) * wp, 4 * ci)
-        z = jnp.dot(xw, w_ref[...],
-                    preferred_element_type=jnp.float32)   # [M, 2*9*Co]
-        z = z.reshape(h_t + 2, wp, 2 * 9 * co)
+        if variant == "nocat":
+            xw = jnp.concatenate([x10[0, 0], x11[0, 0, :2]], axis=0)
+            xw = xw[:, :, :4 * ci] if xw.shape[-1] >= 4 * ci else \
+                jnp.concatenate([xw, xw], -1)[:, :, :4 * ci]
+        else:
+            start = (2 * qw + pack - 1) * ci
+            xw = wide[:, :, start:start + 4 * ci]
+        # rank-3 matmul (leading dims batched): avoids merging the
+        # Wp-sublane dim into M, which forced a whole-slab relayout
+        z = jax.lax.dot_general(
+            xw, w_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [h_t+2, Wp, 2*9*Co]
         for s in range(2):
-            acc = jnp.zeros((h_t, w, co), jnp.float32)
-            for th in range(3):
+            if variant == "full":
+                # group the 9 shifted adds by tw: the th slices (leading
+                # dim) and lane selects are cheap; only 3 adds pay a
+                # sublane (W) shift
+                acc = jnp.zeros((h_t, w, co), jnp.float32)
                 for tw in range(3):
-                    base = (s * 9 + th * 3 + tw) * co
-                    acc = acc + z[th:th + h_t, tw:tw + w, base:base + co]
+                    t = jnp.zeros((h_t, wp, co), jnp.float32)
+                    for th in range(3):
+                        base = (s * 9 + th * 3 + tw) * co
+                        t = t + z[th:th + h_t, :, base:base + co]
+                    acc = acc + t[:, tw:tw + w, :]
+            else:
+                acc = jnp.zeros((h_t, w, co), jnp.float32)
+                for th in range(3):
+                    for tw in range(3):
+                        base = (s * 9 + th * 3 + tw) * co
+                        acc = acc + z[0:h_t, 0:w, base:base + co]
             outs.append(acc)
     y = jnp.concatenate(outs, axis=-1)            # [h_t, w, P*Co]
     y = y * scale_ref[0] + bias_ref[0]
@@ -103,9 +127,10 @@ def _kernel(x00, x01, x10, x11, x20, x21, w_ref, scale_ref, bias_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pack", "relu", "h_tile", "interpret", "out_dtype"))
+    static_argnames=("pack", "relu", "h_tile", "interpret", "out_dtype",
+                     "variant"))
 def _forward(xp, wmat, scale, bias, pack, relu, h_tile, interpret,
-             out_dtype):
+             out_dtype, variant="full"):
     b, r, h, w, pci = xp.shape
     ci = pci // pack
     co = wmat.shape[1] // 18
@@ -133,7 +158,7 @@ def _forward(xp, wmat, scale, bias, pack, relu, h_tile, interpret,
     true_flops = 2 * b * r * pack * h * w * 27 * ci * co
     return pl.pallas_call(
         functools.partial(_kernel, h_t=h_t, w=w, pack=pack, ci=ci, co=co,
-                          relu=relu),
+                          relu=relu, variant=variant),
         grid=grid,
         in_specs=[spec(0, 0), spec(0, 1), spec(1, 0), spec(1, 1),
                   spec(2, 0), spec(2, 1),
