@@ -7,6 +7,8 @@ TPU build each *host* (jax.process_index) loads its shard of the global
 batch; chips within a host get their slice via the batch sharding.
 """
 
+import logging
+
 import numpy as np
 
 
@@ -101,4 +103,10 @@ def aspect_group_flags(dataset):
     sample = dataset.__getitem__(0, rng=np.random.default_rng(0)) \
         if hasattr(dataset, "__getitem__") else dataset[0]
     h, w = sample["original_size"]
+    if n > 1:
+        logging.getLogger("dmb").warning(
+            "aspect_group_flags: annotations carry no per-item height/width; "
+            "grouping all %d samples by sample 0's aspect (%dx%d). A "
+            "mixed-size dataset will NOT be aspect-grouped — add "
+            "height/width to the annotation entries.", n, h, w)
     return np.full(n, 1 if w > h else 0, np.int64)

@@ -17,18 +17,25 @@ from ..ops.warp import inverse_warp_2d
 PX_THRESHOLDS = (1, 2, 3, 5)
 
 
-def calc_error(est_disp, gt_disp, lb=None, ub=None, extra_mask=None):
+def calc_error(est_disp, gt_disp, lb=None, ub=None, extra_mask=None,
+               per_sample=False):
     """EPE + {1,2,3,5}-px error %% over GT pixels in (lb, ub).
 
     Args:
       est_disp, gt_disp: same-shape disparity maps (any layout).
       lb, ub: exclusive valid-GT bounds (KITTI invalid = 0 needs lb=0).
       extra_mask: optional boolean mask AND-ed into validity (occlusion split).
+      per_sample: reduce over all axes except the leading batch axis,
+        returning [B] vectors — the batched-eval path needs per-sample
+        means so batch-N evaluation averages exactly like the reference's
+        per-sample loop (tools/test.py:101-169).
 
     Returns:
-      dict of scalar jnp arrays: '1px','2px','3px','5px' in percent, 'epe'.
-      All zeros when no pixel is valid (reference behavior).
+      dict of scalar (or [B], per_sample=True) jnp arrays: '1px','2px',
+      '3px','5px' in percent, 'epe'. Zeros when no pixel is valid
+      (reference behavior).
     """
+    axes = tuple(range(1, gt_disp.ndim)) if per_sample else None
     mask = jnp.ones(gt_disp.shape, dtype=bool)
     if lb is not None:
         mask = mask & (gt_disp > lb)
@@ -37,7 +44,7 @@ def calc_error(est_disp, gt_disp, lb=None, ub=None, extra_mask=None):
     if extra_mask is not None:
         mask = mask & extra_mask
     maskf = mask.astype(jnp.float32)
-    total = jnp.sum(maskf)
+    total = jnp.sum(maskf, axis=axes)
     denom = jnp.maximum(total, 1.0)
     any_valid = (total >= 1.0).astype(jnp.float32)
 
@@ -45,9 +52,10 @@ def calc_error(est_disp, gt_disp, lb=None, ub=None, extra_mask=None):
                         est_disp.astype(jnp.float32)) * maskf
     out = {}
     for t in PX_THRESHOLDS:
-        frac = jnp.sum(((abs_error > t) & mask).astype(jnp.float32)) / denom
+        frac = jnp.sum(((abs_error > t) & mask).astype(jnp.float32),
+                       axis=axes) / denom
         out[f'{t}px'] = frac * 100.0 * any_valid
-    out['epe'] = jnp.sum(abs_error) / denom * any_valid
+    out['epe'] = jnp.sum(abs_error, axis=axes) / denom * any_valid
     return out
 
 
@@ -69,7 +77,8 @@ def occlusion_mask(ref_gt_disp, target_gt_disp, theta=1.0, eps=1e-6):
     return occ.astype(ref_gt_disp.dtype)
 
 
-def calc_error_with_occlusion(est_disp, ref_gt_disp, target_gt_disp, lb, ub):
+def calc_error_with_occlusion(est_disp, ref_gt_disp, target_gt_disp, lb, ub,
+                              per_sample=False):
     """occ_/noc_-prefixed error dicts via LR-consistency split.
 
     Parity note: the reference multiplies disparities by the mask and re-runs
@@ -80,10 +89,12 @@ def calc_error_with_occlusion(est_disp, ref_gt_disp, target_gt_disp, lb, ub):
     occ = occlusion_mask(ref_gt_disp, target_gt_disp) > 0.5
     out = {}
     for key, val in calc_error(est_disp, ref_gt_disp, lb, ub,
-                               extra_mask=occ).items():
+                               extra_mask=occ,
+                               per_sample=per_sample).items():
         out['occ_' + key] = val
     for key, val in calc_error(est_disp, ref_gt_disp, lb, ub,
-                               extra_mask=~occ).items():
+                               extra_mask=~occ,
+                               per_sample=per_sample).items():
         out['noc_' + key] = val
     return out
 

@@ -165,7 +165,8 @@ def build_model(cfg, mesh=None):
             r = model_cfg["disp_refinement"]
             refinement = AnyNetRefinement(
                 spn_planes=r.get("spn_planes", 8),
-                batch_norm=model_cfg.get("batch_norm", True), dtype=dtype)
+                batch_norm=model_cfg.get("batch_norm", True), dtype=dtype,
+                pack=r.get("pack", 0))
         return AnyNet(
             backbone=build_backbone(model_cfg, dtype),
             disp_refinement=refinement,
@@ -194,6 +195,8 @@ def build_model(cfg, mesh=None):
             hourglass_in_planes=proc.get("confidence_range_predictor", {})
             .get("hourglass_in_planes", 16),
             refinement_num=model_cfg.get("disp_refinement", {}).get("num", 1),
+            refinement_pack=model_cfg.get("disp_refinement", {}).get(
+                "pack", 0),
             batch_norm=model_cfg.get("batch_norm", True),
             dtype=dtype)
     raise ValueError(f"unknown meta architecture {arch}")

@@ -104,18 +104,32 @@ class DeepPrunerAggregator(nn.Module):
 
 
 class RefinementHead(nn.Module):
-    """Dilated conv stack on [guide ‖ disp] -> residual; ReLU clamp."""
+    """Dilated conv stack on [guide ‖ disp] -> residual; ReLU clamp.
+
+    pack > 1 runs the 6-conv 16/32-channel stack in the row-packed layout
+    [B, H/pack, W, pack*C] (ops/conv3d.conv2d_rowpacked) — the same
+    measured-win schedule as StereoNet's edge-aware trunk (DESIGN.md §6);
+    identical params, auto-fallback when H %% pack != 0."""
     batch_norm: bool = True
     dtype: Any = jnp.float32
+    pack: int = 0
 
     @nn.compact
     def __call__(self, init_disp, guide, train: bool = False):
+        from ..ops.conv3d import pack_rows2d, unpack_rows2d
         bn, dt = self.batch_norm, self.dtype
         x = guide.astype(dt)
+        pk = self.pack if self.pack and self.pack > 1 else 1
+        if x.shape[1] % pk:
+            pk = 1
+        if pk > 1:
+            x = pack_rows2d(x, pk)
         for planes, dil in ((32, 1), (32, 1), (32, 1), (16, 2), (16, 4),
                             (16, 1)):
             x = conv_bn_relu(bn, planes, 3, 1, dil, dil, bias=False,
-                             dtype=dt)(x, train)
+                             dtype=dt, pack=pk)(x, train)
+        if pk > 1:
+            x = unpack_rows2d(x, pk)
         res = nn.Conv(1, (3, 3), padding=1, use_bias=False, dtype=dt,
                       param_dtype=jnp.float32)(x)
         return nn.relu(res.astype(jnp.float32) + init_disp)
@@ -132,6 +146,7 @@ class DeepPruner(nn.Module):
     temperature: float = 7.0
     hourglass_in_planes: int = 16
     refinement_num: int = 1
+    refinement_pack: int = 0  # see RefinementHead.pack
     batch_norm: bool = True
     dtype: Any = jnp.float32
 
@@ -151,7 +166,8 @@ class DeepPruner(nn.Module):
             ref_fms.astype(jnp.float32), tgt_fms.astype(jnp.float32),
             zeros, zeros + feat_max_disp, key,
             self.patch_match_sample_number, self.propagation_filter_size,
-            self.iterations, self.temperature)
+            self.iterations, self.temperature,
+            static_search_range=feat_max_disp)
 
         def build_cost(samples, extra_feats=()):
             raw = cat_volume(ref_fms, tgt_fms, self.max_disp,
@@ -199,7 +215,8 @@ class DeepPruner(nn.Module):
         for i in range(self.refinement_num):
             init = disps[-1]
             guide = jnp.concatenate([guides[i], init.astype(dt)], axis=-1)
-            refined = RefinementHead(bn, dt)(init, guide, train)
+            refined = RefinementHead(bn, dt, pack=self.refinement_pack)(
+                init, guide, train)
             gh, gw = refined.shape[1] * 2, refined.shape[2] * 2
             refined = upsample_2d(refined * 2.0, gh, gw,
                                   align_corners=False)

@@ -471,6 +471,11 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Row-packed layout is only defined for stride-1 'same' blocks; the
+        # downsample conv_bn below does not take `pack` and would silently
+        # mix packed rows if reached with pack > 1.
+        assert not (self.pack > 1 and (self.downsample or self.stride != 1)), (
+            "BasicBlock: pack > 1 requires stride=1 and downsample=False")
         out = conv_bn_relu(self.batch_norm, self.features, 3, self.stride,
                            self.padding, self.dilation, bias=False,
                            dtype=self.dtype, pack=self.pack)(x, train)

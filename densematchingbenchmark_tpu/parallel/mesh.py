@@ -62,6 +62,19 @@ def batch_only_volume_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with batch-dim sharding."""
+    """Host batch pytree -> batch-dim-sharded global device arrays.
+
+    Single process: a plain async device_put. Multi-process (mesh spans
+    non-addressable devices): each host holds only its 1/process_count
+    slice of the global batch (the loader shards by jax.process_index()),
+    so the global array is assembled with
+    jax.make_array_from_process_local_data — the JAX-native analog of the
+    reference's per-process DistributedSampler + NCCL world
+    (dmb/data/loaders/samplers.py:24-41).
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

@@ -34,8 +34,9 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
     (viewable in TensorBoard / xprof). First-class tracing the reference
     lacks (SURVEY §5: its profiling was ad-hoc thop+wall-clock in tests).
     """
-    logger = get_logger(work_dir)
-    metrics_log = MetricsLogger(work_dir)
+    rank = jax.process_index()
+    logger = get_logger(work_dir, rank=rank)
+    metrics_log = MetricsLogger(work_dir, rank=rank)
     from ..utils.collect_env import collect_env_info, device_memory_stats
     logger.info("environment:\n" + collect_env_info())
 

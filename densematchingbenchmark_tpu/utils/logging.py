@@ -63,12 +63,17 @@ class MetricsLogger:
             for k, v in metrics.items():
                 self.tb.add_scalar(prefix + k, float(v), int(step))
 
-    def log_media(self, step, media):
+    def log_media(self, step, media, *, value_range=None):
         """Tag-prefix media routing (tensorboard_logger.py:45-69 parity):
         'image/<tag>'     -> add_image   (HWC float 0-255 / 0-1 or uint8)
         'histogram/<tag>' -> add_histogram (raw values)
         'figure/<tag>'    -> add_figure (matplotlib figure)
         anything else     -> add_scalar.
+
+        value_range: optional dict tag -> 'unit' | '255' overriding the
+        peak<=1 heuristic for float images (a legitimately near-black
+        0-255-range image would otherwise be rescaled x255). Callers that
+        pass uint8 (e.g. VisHook) are unaffected.
         """
         if self.rank != 0 or self.tb is None:
             return
@@ -79,9 +84,11 @@ class MetricsLogger:
                 if img.ndim == 2:
                     img = img[..., None].repeat(3, -1)
                 if img.dtype != np.uint8:
-                    peak = img.max()
-                    img = np.clip(img * (255.0 if peak <= 1.0 + 1e-6
-                                         else 1.0), 0, 255).astype(np.uint8)
+                    rng = (value_range or {}).get(tag)
+                    if rng is None:
+                        rng = "unit" if img.max() <= 1.0 + 1e-6 else "255"
+                    img = np.clip(img * (255.0 if rng == "unit" else 1.0),
+                                  0, 255).astype(np.uint8)
                 self.tb.add_image(suffix, img, int(step), dataformats="HWC")
             elif prefix == "histogram":
                 self.tb.add_histogram(suffix, np.asarray(rec).ravel(),

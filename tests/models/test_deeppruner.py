@@ -57,6 +57,27 @@ def test_patch_match_finds_true_disparity():
     assert np.median(best) < 1.0
 
 
+def test_patch_match_corr_path_matches_warp_path():
+    """static_search_range scoring (precomputed integer-shift correlation +
+    1-D interp) must equal the feature-warp scoring exactly — the dot
+    product is linear in the warped operand (ops/patch_match.py
+    _integer_shift_corr)."""
+    rng = np.random.RandomState(2)
+    MAXD = 12
+    left = rng.randn(2, 12, 40, 16).astype(np.float32)
+    right = rng.randn(2, 12, 40, 16).astype(np.float32)
+    lo = np.zeros((2, 12, 40, 1), np.float32)
+    hi = lo + MAXD
+    kwargs = dict(disparity_sample_number=10, iterations=2, temperature=7.0)
+    s_warp = np.asarray(patch_match(
+        jnp.asarray(left), jnp.asarray(right), lo, hi,
+        jax.random.PRNGKey(3), **kwargs))
+    s_corr = np.asarray(patch_match(
+        jnp.asarray(left), jnp.asarray(right), lo, hi,
+        jax.random.PRNGKey(3), static_search_range=MAXD, **kwargs))
+    np.testing.assert_allclose(s_corr, s_warp, rtol=1e-4, atol=1e-4)
+
+
 def test_patch_match_is_differentiable():
     rng = np.random.RandomState(1)
     left = rng.randn(1, 8, 16, 8).astype(np.float32)

@@ -245,3 +245,59 @@ def test_psmnet_backbone_rowpacked_matches_unpacked():
     o4, _ = b4.apply(variables, x, x, train=False)
     np.testing.assert_allclose(np.asarray(o4), np.asarray(o1),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_deeppruner_refinement_head_rowpacked_matches_unpacked():
+    """DeepPruner RefinementHead pack=4 == pack=1 on identical params
+    (reference disp_refinement/DeepPruner.py:8-94 workload: dilations
+    1,1,1,2,4,1 on [guide ‖ disp])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.models.deeppruner import RefinementHead
+
+    rng = np.random.RandomState(3)
+    guide = jnp.asarray(rng.rand(1, 32, 24, 20), jnp.float32)
+    disp = jnp.asarray(rng.rand(1, 32, 24, 1) * 8, jnp.float32)
+    r1 = RefinementHead(batch_norm=True, pack=1)
+    r4 = RefinementHead(batch_norm=True, pack=4)
+    variables = r1.init(jax.random.PRNGKey(0), disp, guide, train=False)
+    v4 = r4.init(jax.random.PRNGKey(0), disp, guide, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v4)
+    o1 = r1.apply(variables, disp, guide, train=False)
+    o4 = r4.apply(variables, disp, guide, train=False)
+    np.testing.assert_allclose(np.asarray(o4), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+    _, s1 = r1.apply(variables, disp, guide, train=True,
+                     mutable=["batch_stats"])
+    _, s4 = r4.apply(variables, disp, guide, train=True,
+                     mutable=["batch_stats"])
+    for l1, l4 in zip(jax.tree.leaves(s1), jax.tree.leaves(s4)):
+        np.testing.assert_allclose(np.asarray(l4), np.asarray(l1),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_anynet_refinement_rowpacked_matches_unpacked():
+    """AnyNetRefinement pack=4 == pack=1 (gate-conv stack packed; SPN scan
+    unpacked; reference disp_refinement/AnyNet.py:8-96 workload)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from densematchingbenchmark_tpu.models.refinement.anynet import (
+        AnyNetRefinement)
+
+    rng = np.random.RandomState(4)
+    left = jnp.asarray(rng.rand(1, 64, 48, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(1, 64, 48, 3), jnp.float32)
+    disp = jnp.asarray(rng.rand(1, 16, 12, 1) * 8, jnp.float32)
+    r1 = AnyNetRefinement(batch_norm=True, pack=1)
+    r4 = AnyNetRefinement(batch_norm=True, pack=4)
+    variables = r1.init(jax.random.PRNGKey(0), [disp], None, None,
+                        left, right, train=False)
+    v4 = r4.init(jax.random.PRNGKey(0), [disp], None, None,
+                 left, right, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(v4)
+    o1 = r1.apply(variables, [disp], None, None, left, right, train=False)
+    o4 = r4.apply(variables, [disp], None, None, left, right, train=False)
+    np.testing.assert_allclose(np.asarray(o4[0]), np.asarray(o1[0]),
+                               rtol=2e-4, atol=2e-4)

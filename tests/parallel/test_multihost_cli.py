@@ -1,0 +1,81 @@
+"""Multi-host CLI launch: tools/train.py with --coordinator/--process-id.
+
+Proves the full multi-host path end-to-end on CPU: two REAL jax processes
+(4 virtual devices each) train over one 8-device global mesh via the CLI
+flags added for reference-init_dist parity (dmb/utils/env.py:16-53,
+tools/dist_train.sh), and the final loss matches a single-process 8-device
+run of the identical config bit-for-bit-deterministic inputs.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+TRAIN = os.path.join(ROOT, "tools", "train.py")
+
+COMMON = ["--config", "StereoNet/scene_flow_8x_2stage", "--cpu",
+          "--synthetic", "--synthetic-shape", "64", "128",
+          "--synthetic-length", "8", "--max-steps", "2",
+          "--log-interval", "1", "--seed", "0",
+          "--override", "model.dtype=float32"]
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _env(n_devices):
+    return {**os.environ, "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS":
+                f"--xla_force_host_platform_device_count={n_devices}"}
+
+
+def _last_loss(work_dir):
+    path = os.path.join(work_dir, "metrics.log.json")
+    with open(path) as fp:
+        records = [json.loads(line) for line in fp if line.strip()]
+    records = [r for r in records if "train/loss" in r]
+    assert records, f"no train/loss records in {path}"
+    return records[-1]["step"], records[-1]["train/loss"]
+
+
+def test_two_process_cli_train_matches_single_process(tmp_path):
+    single_dir = str(tmp_path / "single")
+    r = subprocess.run(
+        [sys.executable, TRAIN, *COMMON, "--work-dir", single_dir],
+        env=_env(8), capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+
+    coord = f"localhost:{_free_port()}"
+    dirs = [str(tmp_path / f"proc{i}") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, TRAIN, *COMMON, "--work-dir", dirs[i],
+         "--coordinator", coord, "--num-processes", "2",
+         "--process-id", str(i)],
+        env=_env(4), stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, (out[-2000:], err[-2000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    step_1p, loss_1p = _last_loss(single_dir)
+    step_2p, loss_2p = _last_loss(dirs[0])  # rank 0 writes the metrics
+    assert step_1p == step_2p == 2
+    # same global batch, same init, same data order; only the collective
+    # reduction topology differs
+    np.testing.assert_allclose(loss_2p, loss_1p, rtol=1e-5)
+    # rank 1 must not have written a metrics file (rank-0-only logging)
+    assert not os.path.exists(os.path.join(dirs[1], "metrics.log.json"))

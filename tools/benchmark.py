@@ -58,11 +58,21 @@ def bench_one(name, h, w, dtype, iters):
     cost = compiled.cost_analysis()
     flops = cost.get("flops") if cost else None
 
-    fwd(left, left).block_until_ready()
+    # Distinct device-staged frames per iteration (DESIGN.md §3: identical
+    # zero inputs are not trustworthy over the axon tunnel; same harness as
+    # bench.py).
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * iters)
+    frames = [
+        (jax.device_put(jax.random.normal(keys[2 * i], left.shape)),
+         jax.device_put(jax.random.normal(keys[2 * i + 1], left.shape)))
+        for i in range(iters)
+    ]
+    jax.block_until_ready(frames)
+    fwd(*frames[0]).block_until_ready()
+    fwd(*frames[1]).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(left, left)
-    out.block_until_ready()
+    outs = [fwd(l, r) for l, r in frames]
+    jax.block_until_ready(outs)
     ms = (time.perf_counter() - t0) / iters * 1000
     return dict(model=name, params_m=round(n_params / 1e6, 3),
                 gflops=round(flops / 1e9, 1) if flops else None,

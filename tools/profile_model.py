@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""xplane-trace a model's jitted forward (the round-2 DeepPruner recipe).
+
+Traces N forwards with distinct device-staged inputs, writes the trace to
+--out, and prints the top self-time ops parsed from the xplane proto (no
+tensorboard needed: uses jax's xplane pb + a tiny reader).
+
+Usage: python tools/profile_model.py --config DeepPruner/scene_flow_4x \
+           [--height 384 --width 1280] [--iters 3] [--out /tmp/xplane]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize_xplane(logdir, top=40):
+    """Aggregate per-op self time from the xplane.pb TPU op trace."""
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        print("no xplane.pb found under", logdir)
+        return
+    # the proto bindings ship inside the baked tensorflow wheel
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception:
+        print("xplane proto bindings unavailable; trace left at", paths[-1])
+        return
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as fp:
+        space.ParseFromString(fp.read())
+    totals = {}
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name:
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+    rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+    print(f"{'op':70s} {'ms':>9s}")
+    for name, ps in rows:
+        print(f"{name[:70]:70s} {ps / 1e9:9.3f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="DeepPruner/scene_flow_4x")
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--out", default="/tmp/xplane_trace")
+    ap.add_argument("--summarize-only", action="store_true",
+                    help="just parse an existing trace dir")
+    args = ap.parse_args()
+
+    if args.summarize_only:
+        summarize_xplane(args.out)
+        return
+
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+
+    cfg = get_config(args.config, **{"model.dtype": args.dtype})
+    model = build_model(cfg)
+    out_key = "flows" if cfg.get("task") == "flow" else "disps"
+    h, w = args.height, args.width
+    small = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), small, small, train=False)
+    fwd = jax.jit(lambda l, r: model.apply(variables, l, r,
+                                           train=False)[out_key][0])
+    keys = jax.random.split(jax.random.PRNGKey(1), 2 * args.iters)
+    frames = [(jax.device_put(jax.random.normal(keys[2 * i], (1, h, w, 3))),
+               jax.device_put(jax.random.normal(keys[2 * i + 1],
+                                                (1, h, w, 3))))
+              for i in range(args.iters)]
+    jax.block_until_ready(frames)
+    fwd(*frames[0]).block_until_ready()  # compile
+
+    jax.profiler.start_trace(args.out)
+    outs = [fwd(l, r) for l, r in frames]
+    jax.block_until_ready(outs)
+    jax.profiler.stop_trace()
+    print("trace ->", args.out)
+    summarize_xplane(args.out)
+
+
+if __name__ == "__main__":
+    main()

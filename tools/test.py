@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--override", nargs="*", default=[])
+    from densematchingbenchmark_tpu.parallel import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -94,6 +96,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    # Multi-host eval: each process evaluates its stride-shard of the test
+    # set, metrics are allgathered (reference tools/test.py uses the same
+    # init_dist + stride-shard + collect pattern).
+    from densematchingbenchmark_tpu.parallel import init_distributed
+    init_distributed(args.launcher, args.coordinator, args.num_processes,
+                     args.process_id)
+
     import numpy as np
     import jax
 
@@ -151,7 +160,15 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     results, n = evaluate(model, variables, ds, cfg["model"].get("eval", {}),
-                          cfg.get("eval_disparity_id", (0,)))
+                          cfg.get("eval_disparity_id", (0,)),
+                          num_shards=jax.process_count(),
+                          shard_id=jax.process_index())
+    if jax.process_count() > 1:
+        from densematchingbenchmark_tpu.evaluation.format import (
+            combine_shard_metrics)
+        results, n = combine_shard_metrics(results, n)
+        if jax.process_index() != 0:
+            return
     print(f"evaluated {n} samples:")
     for k in sorted(results):
         print(f"  {k:24s} {results[k]:.4f}")

@@ -81,11 +81,17 @@ def main():
         finally:
             c3.set_packed_schedules(s1="auto")
     record("PSMNet s1=pallas", psm_pallas)
-    record("StereoNet-4stage baseline",
-           lambda: bench_model("StereoNet/scene_flow_8x_4stage", args.iters))
+    # Configs now ship pack=4 by default; the "baseline" rows must force the
+    # unpacked schedule explicitly or both sides of the A/B are identical.
+    record("StereoNet-4stage refinement rowpack off",
+           lambda: bench_model("StereoNet/scene_flow_8x_4stage", args.iters,
+                               **{"model.disp_refinement.pack": 1}))
     record("StereoNet-4stage refinement rowpack=4",
            lambda: bench_model("StereoNet/scene_flow_8x_4stage", args.iters,
                                **{"model.disp_refinement.pack": 4}))
+    record("PSMNet backbone rowpack off",
+           lambda: bench_model("PSMNet/scene_flow", args.iters,
+                               **{"model.backbone.pack": 1}))
     record("PSMNet backbone rowpack=4",
            lambda: bench_model("PSMNet/scene_flow", args.iters,
                                **{"model.backbone.pack": 4}))

@@ -31,8 +31,12 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset (smoke/debug)")
+    p.add_argument("--synthetic-shape", type=int, nargs=2, default=(256, 512),
+                   metavar=("H", "W"))
+    p.add_argument("--synthetic-length", type=int, default=16)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--dtype", default=None,
@@ -42,6 +46,8 @@ def parse_args():
     p.add_argument("--profile", default=None, metavar="START:STOP",
                    help="JAX-profiler-trace global steps START..STOP "
                         "(e.g. 5:8) to <work-dir>/profile")
+    from densematchingbenchmark_tpu.parallel import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args()
 
 
@@ -50,6 +56,13 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    # Multi-host: connect to the coordinator BEFORE any backend use
+    # (reference init_dist, dmb/utils/env.py:16-53; here the mesh then
+    # spans all hosts and the loader shards by jax.process_index()).
+    from densematchingbenchmark_tpu.parallel import init_distributed
+    init_distributed(args.launcher, args.coordinator, args.num_processes,
+                     args.process_id)
 
     from densematchingbenchmark_tpu.configs import get_config
     from densematchingbenchmark_tpu.trainer.loop import train_matcher
@@ -107,20 +120,23 @@ def main():
 
     if args.synthetic:
         maxd = cfg["model"]["max_disp"]
+        sh, sw = args.synthetic_shape
+        slen = args.synthetic_length
         cfg["data"] = dict(
             type="Synthetic", sparse=False, batch_size_per_device=1,
             mean=cfg["data"]["mean"], std=cfg["data"]["std"],
-            train=dict(length=16, height=256, width=512,
-                       max_disp=min(maxd, 64), input_shape=(256, 512)),
+            train=dict(length=slen, height=sh, width=sw,
+                       max_disp=min(maxd, 64), input_shape=(sh, sw)),
         )
         from densematchingbenchmark_tpu.data import (SyntheticStereoDataset,
                                                      transforms)
-        ds = SyntheticStereoDataset(length=16, height=256, width=512,
+        ds = SyntheticStereoDataset(length=slen, height=sh, width=sw,
                                     max_disp=min(maxd, 64))
         ds.transform = transforms.make_train_transform(
-            (256, 512), cfg["data"]["mean"], cfg["data"]["std"])
+            (sh, sw), cfg["data"]["mean"], cfg["data"]["std"])
         train_matcher(cfg, args.work_dir, train_dataset=ds,
                       resume=args.resume, max_steps=args.max_steps,
+                      log_interval=args.log_interval,
                       profile_steps=profile_steps)
         return
 
@@ -131,7 +147,8 @@ def main():
     if args.eval_annfile:
         cfg["data"]["eval"]["annfile"] = args.eval_annfile
     train_matcher(cfg, args.work_dir, resume=args.resume,
-                  max_steps=args.max_steps, profile_steps=profile_steps)
+                  max_steps=args.max_steps, log_interval=args.log_interval,
+                  profile_steps=profile_steps)
 
 
 if __name__ == "__main__":
