@@ -27,6 +27,11 @@ def _base(scale):
             temperature=7,
             patch_match_disparity_sample_number=14,
             uniform_disparity_sample_number=9,
+            # PatchMatch scoring schedule: 'corr' = one integer-shift
+            # correlation volume + static windowed tent contraction
+            # (identical numerics to 'warp', zero gathers). v5e measured,
+            # 4x 384x1280: warp 136.9 ms -> corr 48.2 ms (20.7 FPS).
+            scoring="corr",
         ),
         cost_processor=dict(
             type="DeepPruner",
@@ -36,8 +41,10 @@ def _base(scale):
             cost_aggregator=dict(type="DeepPruner",
                                  hourglass_in_planes=16),
         ),
+        # pack=4: row-packed dilated refinement trunk (StereoNet-class
+        # schedule; 48.2 -> 47.8 ms on 4x — small but consistent)
         disp_refinement=dict(type="DeepPruner",
-                             num=1 if scale == 4 else 2),
+                             num=1 if scale == 4 else 2, pack=4),
         losses=dict(
             l1_loss=dict(max_disp=192, weights=(1.3, 1.0, 0.7, 0.7),
                          weight=1.0),

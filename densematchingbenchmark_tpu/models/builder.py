@@ -197,6 +197,7 @@ def build_model(cfg, mesh=None):
             refinement_num=model_cfg.get("disp_refinement", {}).get("num", 1),
             refinement_pack=model_cfg.get("disp_refinement", {}).get(
                 "pack", 0),
+            pm_scoring=sampler.get("scoring", "warp"),
             batch_norm=model_cfg.get("batch_norm", True),
             dtype=dtype)
     raise ValueError(f"unknown meta architecture {arch}")

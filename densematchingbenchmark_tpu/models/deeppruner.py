@@ -147,6 +147,18 @@ class DeepPruner(nn.Module):
     hourglass_in_planes: int = 16
     refinement_num: int = 1
     refinement_pack: int = 0  # see RefinementHead.pack
+    # PatchMatch scoring schedule. MEASURED on v5e at 384x1280 (honest
+    # distinct-input harness, whole-model):
+    #   'warp'      f32 feature warps             136.3 ms  <- default
+    #   'warp_bf16' compute-dtype feature warps   165.7 ms (bf16 (2,1)
+    #               sublane-packed gathers lower WORSE despite half the
+    #               bytes)
+    #   'corr'      precomputed integer-shift correlation + axis-1 score
+    #               gathers (identical numerics by dot-product linearity)
+    #                                             213.6 ms (scalar-element
+    #               gathers; the W-axis warp fetches contiguous 32-channel
+    #               rows)
+    pm_scoring: str = "warp"
     batch_norm: bool = True
     dtype: Any = jnp.float32
 
@@ -162,12 +174,18 @@ class DeepPruner(nn.Module):
         key = self.make_rng("patch_match") if train else \
             jax.random.PRNGKey(0)
         zeros = jnp.zeros((b, h, w, 1), jnp.float32)
+        if self.pm_scoring == "warp_bf16":
+            pm_left, pm_right = ref_fms, tgt_fms
+        else:
+            pm_left = ref_fms.astype(jnp.float32)
+            pm_right = tgt_fms.astype(jnp.float32)
         pm_samples = patch_match(
-            ref_fms.astype(jnp.float32), tgt_fms.astype(jnp.float32),
+            pm_left, pm_right,
             zeros, zeros + feat_max_disp, key,
             self.patch_match_sample_number, self.propagation_filter_size,
             self.iterations, self.temperature,
-            static_search_range=feat_max_disp)
+            static_search_range=(feat_max_disp
+                                 if self.pm_scoring == "corr" else None))
 
         def build_cost(samples, extra_feats=()):
             raw = cat_volume(ref_fms, tgt_fms, self.max_disp,

@@ -16,10 +16,12 @@ reference mutates with .uniform_ in place — patch_match.py:70), and the
 warp gather is the shared ops/warp.py:inverse_warp_3d.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-from .warp import inverse_warp_3d, gather_1d_linear
+from .warp import inverse_warp_3d
 
 
 def _integer_shift_corr(left, right, k_count):
@@ -43,6 +45,55 @@ def _integer_shift_corr(left, right, k_count):
         shifted = jnp.roll(right, k, axis=2) * valid
         slices.append(jnp.mean(left * shifted, axis=-1))
     return jnp.stack(slices, axis=1)  # [B, K, H, W]
+
+
+def _windowed_tent_score(corr, samples, filter_size, lo_k):
+    """Interpolated scores from corr WITHOUT gathers.
+
+    Linear interpolation along k is a tent-kernel contraction:
+      score(d) = sum_k corr[k] * max(0, 1 - |d - k|).
+    Every candidate of interval s lies in [Δ(s+1), Δ(s+2)] (Δ = range /
+    (n+1); propagation only mixes the [0,1) noise, soft-selection is a
+    convex blend within the interval), so the contraction only needs a
+    STATIC ~Δ+2-wide window of corr per interval — pure VPU broadcast-
+    multiply-reduce, no dynamic indexing. On v5e this replaces 13.6 ms
+    scalar-gather fusions per evaluate round with sub-ms dense math.
+
+    Args:
+      corr: [B, K, H, W] integer-shift correlation.
+      samples: [B, n*filter_size, H, W] candidates, interval-major.
+      lo_k: [n] static window starts (numpy ints), window width shared.
+    Returns:
+      [B, n*filter_size, H, W] scores.
+    """
+    b, K, h, w = corr.shape
+    dk = samples.shape[1]
+    n = dk // filter_size
+    win = int(lo_k[-1][1])
+    starts = [s for s, _ in lo_k]
+    # [B, n, win, H, W] static slices of corr
+    wins = jnp.stack([jax.lax.slice_in_dim(corr, s, s + win, axis=1)
+                      for s in starts], axis=1)
+    ks = (np.asarray(starts, np.float32)[:, None] +
+          np.arange(win, dtype=np.float32)[None, :])  # [n, win]
+    d = samples.reshape(b, n, filter_size, h, w)
+    tent = jnp.maximum(
+        0.0, 1.0 - jnp.abs(d[:, :, :, None] -
+                           jnp.asarray(ks)[None, :, None, :, None, None]))
+    return jnp.sum(tent * wins[:, :, None], axis=3).reshape(b, dk, h, w)
+
+
+def _tent_windows(n, static_range, k_count):
+    """Static per-interval corr-window starts + shared width."""
+    delta = static_range / (n + 1)
+    win = int(np.ceil(delta)) + 2
+    win = min(win, k_count)
+    out = []
+    for s in range(n):
+        start = int(np.floor(delta * (s + 1)))
+        start = max(0, min(start, k_count - win))
+        out.append((start, win))
+    return out
 
 
 def _shift(x, off, axis):
@@ -76,21 +127,29 @@ def _propagate(x, axis, filter_size=3):
 
 
 def _evaluate(left, right, samples, noise, filter_size, temperature,
-              corr=None):
+              corr_ctx=None):
     """Pick the (soft) best of each interval's ``filter_size`` candidates.
 
-    corr: optional precomputed [B, K, H, W] integer-shift correlation
-    (_integer_shift_corr); when given, the score is its 1-D interpolated
-    gather along K — numerically identical to warping the features (the
-    dot product is linear in the warped operand), ~C x cheaper on TPU.
+    corr_ctx: optional (corr, windows) — precomputed [B, K, H, W] integer-
+    shift correlation + static per-interval window starts; the score is
+    then the windowed tent contraction (_windowed_tent_score), numerically
+    identical to warping the features (the dot product is linear in the
+    warped operand) with zero gathers.
     """
     b, dk, h, w = samples.shape
     n = dk // filter_size
-    if corr is not None:
-        score = gather_1d_linear(corr, samples, axis=1) * temperature
+    if corr_ctx is not None:
+        corr, windows = corr_ctx
+        score = _windowed_tent_score(corr, samples, filter_size,
+                                     windows) * temperature
     else:
-        warped, _ = inverse_warp_3d(right, samples)   # [B, Dk, H, W, C]
-        score = jnp.mean(left[:, None] * warped, axis=-1) * temperature
+        # Warp in the FEATURE dtype (bf16 on TPU: the [B, Dk, H, W, C]
+        # gather intermediates dominate DeepPruner-4x device time — 12
+        # fusions x ~141 MB in f32, xplane-profiled; bf16 halves that
+        # traffic). Coordinates and probability arithmetic stay f32.
+        warped, _ = inverse_warp_3d(right, samples)
+        score = (jnp.mean(left[:, None] * warped, axis=-1)
+                 .astype(jnp.float32) * temperature)
     score = score.reshape(b, n, filter_size, h, w)
     prob = jax.nn.softmax(score, axis=2)
     samples = jnp.sum(prob * samples.reshape(b, n, filter_size, h, w), axis=2)
@@ -108,35 +167,42 @@ def patch_match(left, right, min_disparity, max_disparity, key,
       min_disparity, max_disparity: [B, H, W, 1] search-range bounds.
       key: jax PRNG key for particle initialization.
       disparity_sample_number: samples returned INCLUDING min and max.
-      static_search_range: optional static int upper bound on every
-        disparity sample (DeepPruner's 'pre' stage searches [0, max_disp/
-        scale]). When given, matching scores come from a single
-        precomputed integer-shift correlation volume instead of per-
-        iteration feature warps — identical numerics (see
-        _integer_shift_corr), far cheaper on TPU.
+      static_search_range: optional static int R asserting the search
+        range is the CONSTANT [0, R] (DeepPruner's 'pre' stage:
+        min_disparity == 0, max_disparity == max_disp/scale everywhere).
+        When given, matching scores come from a single precomputed
+        integer-shift correlation volume contracted with static
+        per-interval tent windows — identical numerics (see
+        _integer_shift_corr/_windowed_tent_score), no gathers.
 
     Returns:
       [B, disparity_sample_number, H, W] per-pixel samples
       (min, n generated, max).
     """
     b, h, w, _ = left.shape
-    corr = None
+    # sample/noise/interval arithmetic is ALWAYS f32 (only the scoring
+    # warp runs in the feature dtype)
+    min_disparity = min_disparity.astype(jnp.float32)
+    max_disparity = max_disparity.astype(jnp.float32)
+    n = disparity_sample_number - 2
+    corr_ctx = None
     if static_search_range is not None:
         # +2: interpolation taps floor(d) and floor(d)+1 at d == range
-        corr = _integer_shift_corr(left, right,
-                                   int(static_search_range) + 2)
-    n = disparity_sample_number - 2
+        k_count = int(static_search_range) + 2
+        corr = _integer_shift_corr(left, right, k_count)
+        corr_ctx = (corr.astype(jnp.float32),
+                    _tent_windows(n, int(static_search_range), k_count))
     lo = min_disparity[..., 0][:, None]               # [B, 1, H, W]
     hi = max_disparity[..., 0][:, None]
 
     interval = 1.0 / (n + 1)
-    index = (jnp.arange(1, n + 1, dtype=left.dtype) /
+    index = (jnp.arange(1, n + 1, dtype=jnp.float32) /
              (n + 1))[None, :, None, None]
     interval_min = lo + (hi - lo) * index             # [B, n, H, W]
     interval_min_rep = jnp.repeat(interval_min, propagation_filter_size,
                                   axis=1)
 
-    noise = jax.random.uniform(key, (b, n, h, w), left.dtype)
+    noise = jax.random.uniform(key, (b, n, h, w), jnp.float32)
 
     samples = None
     for _ in range(iterations):
@@ -145,7 +211,7 @@ def patch_match(left, right, min_disparity, max_disparity, key,
             samples = (hi - lo) * interval * noise_prop + interval_min_rep
             samples, noise = _evaluate(left, right, samples, noise_prop,
                                        propagation_filter_size, temperature,
-                                       corr=corr)
+                                       corr_ctx=corr_ctx)
     return jnp.concatenate([lo, samples, hi], axis=1)
 
 

@@ -45,7 +45,12 @@ def gather_1d_linear(src, x, axis):
     def tap(xi, weight):
         valid = (xi >= 0) & (xi <= w - 1)
         g = jnp.take_along_axis(src, jnp.clip(xi, 0, w - 1), axis=axis)
-        return g * (weight * valid.astype(src.dtype))
+        # weights cast to the SOURCE dtype: a bf16 source must produce a
+        # bf16 gather (f32 weights would promote the [D,H,W,C] warp
+        # intermediates to f32 and double their HBM traffic — the
+        # dominant cost of DeepPruner's PatchMatch on TPU). Coordinates
+        # stay in x's dtype (f32) for exact floor/frac up to W.
+        return g * (weight * valid.astype(x.dtype)).astype(src.dtype)
 
     return tap(x0i, 1.0 - frac) + tap(x1i, frac)
 
