@@ -36,5 +36,21 @@ CONFIGS = {
 }
 
 
+def _bf16_variant(factory):
+    def f(**overrides):
+        overrides.setdefault("model.dtype", "bfloat16")
+        return factory(**overrides)
+    return f
+
+
+# '<name>_bf16': the TPU-recommended training/serving precision (f32
+# params + BN stats, bf16 compute — no loss scaling needed). Verified:
+# 500-step synthetic convergence tracks f32 (tools/bf16_convergence.py,
+# v5e: f32 final 0.865 / bf16 0.814 from 147.7; step 319.5 -> 279.6 ms,
+# 1.14x) on top of the existing bf16 train test + activation parity.
+CONFIGS.update({f"{name}_bf16": _bf16_variant(fn)
+                for name, fn in list(CONFIGS.items())})
+
+
 def get_config(name, **overrides):
     return CONFIGS[name](**overrides)

@@ -35,7 +35,8 @@ def scene_flow(**overrides):
             l1_loss=dict(max_disp=192, weights=(1.0, 1.0, 0.5, 0.25),
                          weight=1.0),
         ),
-        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True),
+        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True,
+                  batch_size=4),
     )
     cfg["data"]["batch_size_per_device"] = 6
     cfg["optimizer"]["lr"] = 5e-4

@@ -50,7 +50,8 @@ def _base(scale):
                          weight=1.0),
             quantile_loss=dict(max_disp=192, weight=1.0, theta=0.05),
         ),
-        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True),
+        eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True,
+                  batch_size=4),
     )
     if scale == 8:
         # Fast: refined(1/4->1/2), refined(1/2->1), post disp, min, max

@@ -33,6 +33,9 @@ _BASE = dict(
             l1_loss=dict(max_disp=192, weights=(1.0, 0.7, 0.5), weight=1.0),
         ),
         eval=dict(lower_bound=0, upper_bound=192, eval_occlusion=True,
+                  # batch-N shape-bucketed eval (exact batch-1 averaging;
+                  # v5e: StereoNet 8.2 ms/sample at batch 8 = pure forward)
+                  batch_size=4,
                   # Optional: fuse trilinear upsample + soft-argmin in one
                   # Pallas kernel at eval (never materializes the full-res
                   # volume). Off by default: XLA already fuses this chain to

@@ -38,6 +38,10 @@ def test_config_builds_and_inits(name):
         # init alone costs minutes of CPU compile; these families have
         # dedicated full forward/backward tests (test_deeppruner/test_anynet)
         pytest.skip("covered by dedicated family tests")
+    if name.endswith("_bf16"):
+        # dtype-only wrappers of the base configs; one representative below
+        if name != "PSMNet/scene_flow_bf16":
+            pytest.skip("dtype-only variant of the base config")
     cfg = get_config(name)
     cfg = get_config(name, **tiny_overrides(name, cfg))
     model = build_model(cfg)
