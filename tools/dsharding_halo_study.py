@@ -89,11 +89,13 @@ def main():
             r"all-to-all)\(", hlo):
         shape = m.group(2)
         kind = m.group(3)
-        dims = re.findall(r"(\d+)", shape.split("{")[0])
+        bracket = re.search(r"\[([\d,]*)\]", shape)
+        dims = [int(d) for d in bracket.group(1).split(",") if d] \
+            if bracket and bracket.group(1) else []
         elems = 1
         for d in dims:
-            elems *= int(d)
-        nbytes = elems * (2 if "bf16" in shape else 4)
+            elems *= d
+        nbytes = elems * (2 if shape.startswith("bf16") else 4)
         coll.setdefault(kind, []).append((shape, nbytes))
         if kind in ("all-gather", "all-to-all", "collective-permute"):
             bytes_total += nbytes
