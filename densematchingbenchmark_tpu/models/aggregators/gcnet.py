@@ -82,7 +82,9 @@ class GCAggregator(nn.Module):
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
                                  dtype=dt, pack=pk,
                                  name="ConvTransposeExact_0")(c36 + c20)
-        if pk > 1:
+        if pk > 1 and c37.shape[-1] == pk:
+            # packed head output (the bench-only DMB_C1_S2_PHASE=1 path
+            # returns the volume already unpacked)
             c37 = unpack_volume(c37, pk)
         # stays in compute dtype: the full-res volume is HBM-bound and the
         # soft-argmin upcasts to f32 internally

@@ -15,6 +15,7 @@ TPU-first choices:
   ConvTranspose formula (out = (in-1)*s - 2p + k + output_padding) exactly.
 """
 
+import os
 from typing import Any, Sequence, Union
 
 import jax.numpy as jnp
@@ -130,6 +131,25 @@ class ConvTransposeExact(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
             ks + (in_features, self.features), jnp.float32)
+        if (self.dims == 3 and self.features == 1 and ks == (3, 3, 3)
+                and ss == (2, 2, 2) and ps == (1, 1, 1)
+                and ops == (1, 1, 1)
+                and os.environ.get("DMB_C1_S2_PHASE") == "1"):
+            # 1-channel 2x cost head (GCNet layer 37) via the 8-phase conv
+            # (ops/conv3d.conv3d_transpose_s2_c1_phase). Bench-only
+            # (DMB_C1_S2_PHASE=1): measured v5e end-to-end 219.7 ms vs
+            # 210.6 for the packed lowering — the unpack + pixel-shuffle
+            # relayouts outweigh the 2-lane deconv it removes.
+            xin = x
+            if self.pack > 1:
+                xin = conv3d_ops.unpack_volume(x, self.pack)
+            out = conv3d_ops.conv3d_transpose_s2_c1_phase(
+                xin.astype(self.dtype), kernel.astype(self.dtype))[..., None]
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (1,), jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out  # UNPACKED [B, 2D, 2H, 2W, 1] even for packed input
         if self.pack > 1:
             assert self.dims == 3 and ks == (3, 3, 3) and ss == (2, 2, 2) \
                 and ps == (1, 1, 1) and ops == (1, 1, 1), (

@@ -73,7 +73,7 @@ def set_packed_schedules(classify=None, s1=None):
     """
     global _PACKED_CLASSIFY, _PACKED_S1
     if classify is not None:
-        assert classify in ("hq", "win3"), classify
+        assert classify in ("hq", "win3", "te"), classify
         _PACKED_CLASSIFY = classify
     if s1 is not None:
         assert s1 in ("auto", "hpack", "win3", "pallas"), s1
@@ -303,6 +303,8 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
     assert xp.shape[-1] == pack * ci, (xp.shape, kernel.shape, pack)
     s1_plain = (strides == (1, 1, 1) and padding == (1, 1, 1)
                 and dilation == (1, 1, 1) and (kh, kw) == (3, 3))
+    if co == 1 and s1_plain and _PACKED_CLASSIFY == "te":
+        return conv3d_packed_classify_te(xp, kernel, pack)
     if co == 1 and s1_plain and _PACKED_CLASSIFY != "win3":
         h = xp.shape[2]
         for hq in (32, 16, 8):
@@ -486,6 +488,65 @@ def conv3d_hpack_classify(xp, kernel, pack, hq):
     return y.reshape(b, r, h, w, pack)
 
 
+def te_classify_kernel(kernel, pack):
+    """[3,3,3,Ci,1] -> [1,1,(P+2)*Ci, 9*P] tap-expansion classify kernel.
+
+    Depth taps fold into the halo-widened K axis (halo slot q+td for
+    output slot q, like hpack_kernel); the NINE spatial taps fold into
+    output lanes, lifting N from P (4) to 9P (36) — the classify head's
+    MXU N-utilization problem — at TRUE MACs (no dense-overlap overhead).
+    A 9-term shifted-add epilogue (conv3d_packed_classify_te) re-aligns
+    the taps spatially.
+    """
+    kd, kh, kw, ci, co = kernel.shape
+    assert (kd, kh, kw, co) == (3, 3, 3, 1), kernel.shape
+    kp = jnp.zeros(((pack + 2) * ci, 9, pack), kernel.dtype)
+    for td in range(3):
+        for q in range(pack):
+            hslot = q + td
+            for th in range(3):
+                for tw in range(3):
+                    kp = kp.at[hslot * ci:(hslot + 1) * ci,
+                               th * 3 + tw, q].add(kernel[td, th, tw, :, 0])
+    return kp.reshape(1, 1, (pack + 2) * ci, 9 * pack)
+
+
+def _shift_hw(x, oh, ow):
+    """out[..., h, w, :] = x[..., h+oh, w+ow, :], zero outside (x 5-D)."""
+    b, r, h, w, p = x.shape
+    pad = ((0, 0), (0, 0), (max(-oh, 0), max(oh, 0)),
+           (max(-ow, 0), max(ow, 0)), (0, 0))
+    xpad = jnp.pad(x, pad)
+    h0, w0 = max(-oh, 0) + oh, max(-ow, 0) + ow
+    return xpad[:, :, h0:h0 + h, w0:w0 + w, :]
+
+
+def conv3d_packed_classify_te(xp, kernel, pack):
+    """Tap-expansion classify head: one true-MAC 1x1 conv + 9 shifted adds.
+
+    Exactly == conv3d_packed(xp, kernel, pack) for Co=1 k3/s1/p1 heads up
+    to float reassociation (the 9 tap partial sums are rounded to the
+    compute dtype before the epilogue adds; the windowed forms accumulate
+    all 81 taps in the MXU's f32 accumulator).
+    """
+    b, r, h, w, pc = xp.shape
+    kd, kh, kw, ci, co = kernel.shape
+    assert co == 1 and pc == pack * ci, (xp.shape, kernel.shape, pack)
+    xh = halo_widen(xp, pack, ci).reshape(b * r, h, w, (pack + 2) * ci)
+    kp = te_classify_kernel(kernel, pack)
+    s = lax.conv_general_dilated(
+        xh, kp, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    s = s.reshape(b, r, h, w, 9, pack)
+    out = s[..., 4, :]  # center tap (th=1, tw=1): shift (0, 0)
+    for th in range(3):
+        for tw in range(3):
+            if (th, tw) == (1, 1):
+                continue
+            out = out + _shift_hw(s[..., th * 3 + tw, :], th - 1, tw - 1)
+    return out
+
+
 def conv3d_transpose_c1_phase(x, kernel):
     """ConvTranspose3d(1->1, k=8, s=4, p=2, op=0) as a 64-phase conv.
 
@@ -534,6 +595,56 @@ def conv3d_transpose_c1_phase(x, kernel):
     y = yp.reshape(b, d, h, w, 4, 4, 4)
     y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
     return y.reshape(b, 4 * d, 4 * h, 4 * w)
+
+
+def conv3d_transpose_s2_c1_phase(x, kernel):
+    """ConvTranspose3d(Ci->1, k=3, s=2, p=1, op=1) as an 8-phase conv.
+
+    GCNet's full-resolution cost head (aggregators/GCNet.py layer 37,
+    reference GCNet.py:7-120). The direct lowering leaves the [B, 2D, 2H,
+    2W, 1] output with a 1-wide (or pack-wide) minor dim — measured 28
+    ms/iter on v5e at 384x1248 (the single most expensive op in GCNet).
+    Here the 8 output phases (out = 2*in per axis) are ONE window-2 conv
+    with 8 output lanes over the un-dilated input, then a pixel-shuffle
+    interleave (4-D output: no 1-channel minor dim anywhere).
+
+    Semantics == ConvTransposeExact's lhs-dilated form (unflipped kernel,
+    pad (1,2)): per axis, out[2m] = K[1]·x[m] and
+    out[2m+1] = K[0]·x[m] + K[2]·x[m+1] (x[N] := 0).
+    Returns [B, 2D, 2H, 2W].
+    """
+    b, d, h, w, ci = x.shape
+    kd, kh, kw, kci, co = kernel.shape
+    assert (kd, kh, kw, co) == (3, 3, 3, 1) and kci == ci, (
+        kernel.shape, x.shape)
+    k3 = kernel[..., 0]  # [3,3,3,Ci]
+    # per-axis (phase, tap) -> kernel index; -1 = structurally zero
+    idx = ((1, -1), (0, 2))
+    kp = jnp.zeros((2, 2, 2, ci, 2, 2, 2), kernel.dtype)
+    for pd_ in range(2):
+        for ph_ in range(2):
+            for pw_ in range(2):
+                for ad in range(2):
+                    kd_ = idx[pd_][ad]
+                    if kd_ < 0:
+                        continue
+                    for ah in range(2):
+                        kh_ = idx[ph_][ah]
+                        if kh_ < 0:
+                            continue
+                        for aw in range(2):
+                            kw_ = idx[pw_][aw]
+                            if kw_ < 0:
+                                continue
+                            kp = kp.at[ad, ah, aw, :, pd_, ph_, pw_].set(
+                                k3[kd_, kh_, kw_])
+    kp = kp.reshape(2, 2, 2, ci, 8).astype(x.dtype)
+    yp = lax.conv_general_dilated(
+        x, kp, window_strides=(1, 1, 1), padding=[(0, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # [B,D,H,W,8]
+    y = yp.reshape(b, d, h, w, 2, 2, 2)
+    y = jnp.transpose(y, (0, 1, 4, 2, 5, 3, 6))
+    return y.reshape(b, 2 * d, 2 * h, 2 * w)
 
 
 def conv3d_opack(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),

@@ -173,3 +173,25 @@ def test_conv2d_rowpacked_parity(pack, dil):
         pack_rows2d(x, pack), k_, pack, (dil, dil)) ** 2))(k)
     np.testing.assert_allclose(np.asarray(gpk), np.asarray(gref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_te_classify_matches_win3():
+    """Tap-expansion classify (1x1 true-MAC conv + 9 shifted adds) ==
+    window-3 packed classify, f32, incl. all boundary pixels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.ops import conv3d as c3
+
+    from jax import lax
+    rng = np.random.RandomState(7)
+    pack, ci = 4, 8
+    xp = jnp.asarray(rng.randn(2, 3, 8, 10, pack * ci), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, ci, 1), jnp.float32)
+    # window-3 packed form, dispatch-free
+    win3 = lax.conv_general_dilated(
+        xp, c3.dpack_kernel(k, pack), window_strides=(1, 1, 1),
+        padding=[(1, 1), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    te = c3.conv3d_packed_classify_te(xp, k, pack)
+    np.testing.assert_allclose(np.asarray(te), np.asarray(win3),
+                               rtol=2e-5, atol=2e-5)
