@@ -36,21 +36,49 @@ CONFIGS = {
 }
 
 
-def _bf16_variant(factory):
+def _dtype_variant(factory, dtype):
     def f(**overrides):
-        overrides.setdefault("model.dtype", "bfloat16")
+        overrides.setdefault("model.dtype", dtype)
         return factory(**overrides)
     return f
 
 
-# '<name>_bf16': the TPU-recommended training/serving precision (f32
-# params + BN stats, bf16 compute — no loss scaling needed). Verified:
-# 500-step synthetic convergence tracks f32 (tools/bf16_convergence.py,
-# v5e: f32 final 0.865 / bf16 0.814 from 147.7; step 319.5 -> 279.6 ms,
-# 1.14x) on top of the existing bf16 train test + activation parity.
-CONFIGS.update({f"{name}_bf16": _bf16_variant(fn)
+# '<name>_bf16' pins bf16 compute; '<name>_f32' pins f32. bf16 = f32
+# params + BN stats, bf16 compute — no loss scaling needed (bf16 shares
+# f32's exponent range). Verified: 500-step synthetic convergence tracks
+# f32 (tools/bf16_convergence.py, v5e: f32 final 0.865 / bf16 0.814 from
+# 147.7; step 319.5 -> 279.6 ms, 1.14x) on top of the bf16 train test +
+# activation parity.
+CONFIGS.update({f"{name}_bf16": _dtype_variant(fn, "bfloat16")
                 for name, fn in list(CONFIGS.items())})
+CONFIGS.update({f"{name}_f32": _dtype_variant(fn, "float32")
+                for name, fn in list(CONFIGS.items())
+                if not name.endswith("_bf16")})
+
+
+def default_compute_dtype():
+    """Backend-conditional default compute precision.
+
+    On TPU the measured-best precision is bf16 (the table in DESIGN.md §3
+    and the convergence study are bf16), mirroring the reference shipping
+    apex O1 mixed precision in every config (dmb/apis/train.py:104-108);
+    CPU (tests, debugging) stays f32. Override per-call with
+    `model.dtype`, per-name with the `_f32`/`_bf16` suffix, or globally
+    with DMB_DEFAULT_DTYPE.
+    """
+    import os
+    env = os.environ.get("DMB_DEFAULT_DTYPE")
+    if env:
+        return env
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:  # config inspection without a usable backend
+        return "float32"
+    return "float32" if backend == "cpu" else "bfloat16"
 
 
 def get_config(name, **overrides):
+    if not (name.endswith("_bf16") or name.endswith("_f32")):
+        overrides.setdefault("model.dtype", default_compute_dtype())
     return CONFIGS[name](**overrides)

@@ -13,7 +13,10 @@ _BASE = dict(
         meta_architecture="GeneralizedStereoModel",
         max_disp=192,
         batch_norm=True,
-        dtype="float32",  # set "bfloat16" for TPU training
+        # Module default; get_config() overrides it with the backend's
+        # measured-best precision (bf16 on TPU, f32 on CPU) unless the
+        # caller pins model.dtype or uses a _f32/_bf16 config name.
+        dtype="float32",
         # backbone pack=4: row-packed 32-ch half-res section (firstconv[1:]
         # + layer1). Measured on v5e: PSMNet 37.98 -> 37.07 ms at 384x1248.
         # Requires H % 8 == 0 (all shipped train/eval shapes qualify).

@@ -88,11 +88,12 @@ class SyntheticStereoDataset:
     name = "Synthetic"
 
     def __init__(self, length=16, height=128, width=256, max_disp=32,
-                 transform=None, seed=0):
+                 transform=None, seed=0, with_right_disp=False):
         self.length = length
         self.h, self.w, self.max_disp = height, width, max_disp
         self.transform = transform
         self.seed = seed
+        self.with_right_disp = with_right_disp
 
     def __len__(self):
         return self.length
@@ -118,12 +119,23 @@ class SyntheticStereoDataset:
         xs = np.arange(w)
         src = (xs[None, :] - disp + self.max_disp).astype(np.int64)
         left = right[np.arange(h)[:, None], src]
-        return {
+        sample = {
             "leftImage": left,
             "rightImage": right[:, self.max_disp:self.max_disp + w],
             "leftDisp": disp[..., None],
             "original_size": (h, w),
         }
+        if self.with_right_disp:
+            # Right-view GT: rightDisp[y, x - d] = d for the piecewise-
+            # constant left-view field (exact away from band edges; band-
+            # edge pixels inherit a neighbor band's value — fine for the
+            # occlusion-eval tests, which only need a deterministic map).
+            rdisp = np.zeros((h, w), np.float32)
+            np.put_along_axis(
+                rdisp, np.clip(xs[None, :] - disp, 0, w - 1).astype(np.int64),
+                disp, axis=1)
+            sample["rightDisp"] = rdisp[..., None]
+        return sample
 
     def __getitem__(self, idx, rng=None):
         sample = self.load(idx)

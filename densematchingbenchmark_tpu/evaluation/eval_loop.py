@@ -30,37 +30,64 @@ def _prefetch_samples(dataset, indices, workers=4, depth=8):
     q = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
+    def put(item):
+        # Never park forever on a full queue: if the consumer abandoned the
+        # generator (its finally sets `stop`), a blocking q.put would leak
+        # this daemon thread + its pool for the process lifetime.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         with ThreadPoolExecutor(workers) as pool:
             pending = []
-            it = iter(indices)
             try:
-                for i in it:
+                for i in indices:
                     pending.append(pool.submit(dataset.__getitem__, i))
                     if len(pending) >= depth:
-                        if stop.is_set():
+                        if not put(("ok", pending.pop(0).result())):
                             return
-                        q.put(pending.pop(0).result())
                 for f in pending:
-                    if stop.is_set():
+                    if not put(("ok", f.result())):
                         return
-                    q.put(f.result())
+            except BaseException as exc:  # propagate read errors, don't truncate
+                put(("err", exc))
+                return
             finally:
-                q.put(None)
+                # Cancel anything not yet started so pool shutdown is fast.
+                for f in pending:
+                    f.cancel()
+            put(None)
 
     threading.Thread(target=producer, daemon=True).start()
     try:
         while True:
-            s = q.get()
-            if s is None:
+            item = q.get()
+            if item is None:
                 return
-            yield s
+            kind, payload = item
+            if kind == "err":
+                # A corrupt/missing sample must fail eval loudly — silently
+                # averaging over a truncated sample set yields plausible but
+                # wrong metrics (ADVICE r3 medium).
+                raise payload
+            yield payload
     finally:
         stop.set()
+        # Drain so a producer blocked in put() sees stop promptly.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def make_eval_metrics_step(model, lb, ub, eval_disparity_ids=(0,),
-                           eval_occlusion=False):
+                           eval_occlusion=False, occ_compat_warp=False):
     """jit'd: (variables, batch) -> {disp_id: metric dict} for one batch.
 
     Metrics are per-sample [B] vectors (calc_error(per_sample=True)) so
@@ -80,7 +107,7 @@ def make_eval_metrics_step(model, lb, ub, eval_disparity_ids=(0,),
             if eval_occlusion and "rightDisp" in batch:
                 m.update(calc_error_with_occlusion(
                     est, batch["leftDisp"], batch["rightDisp"], lb, ub,
-                    per_sample=True))
+                    per_sample=True, compat_grid_sample=occ_compat_warp))
             result[did] = m
         return result
 
@@ -114,7 +141,8 @@ def evaluate(model, variables, dataset, eval_cfg, eval_disparity_ids=(0,),
         step = make_eval_metrics_step(
             model, eval_cfg.get("lower_bound", 0),
             eval_cfg.get("upper_bound", 192), eval_disparity_ids,
-            eval_cfg.get("eval_occlusion", False))
+            eval_cfg.get("eval_occlusion", False),
+            eval_cfg.get("occ_compat_warp", False))
     if batch_size is None:
         batch_size = int(eval_cfg.get("batch_size", 1))
 

@@ -43,9 +43,26 @@ def combine_shard_metrics(avg_metrics, count):
         return avg_metrics, count
     import numpy as np
     from jax.experimental import multihost_utils
-    keys = sorted(avg_metrics)
-    vec = np.asarray([avg_metrics[k] * count for k in keys] + [count],
-                     np.float64)
+
+    # Key sets can differ across shards (a stride shard past the dataset
+    # end gets zero samples and {} metrics — ADVICE r3). Agree on the key
+    # UNION first so every process gathers an identically-shaped vector.
+    blob = np.frombuffer("\n".join(sorted(avg_metrics)).encode(), np.uint8)
+    lens = multihost_utils.process_allgather(np.int64(blob.size))
+    maxlen = int(np.max(lens))
+    if maxlen == 0:
+        return avg_metrics, count
+    padded = np.zeros(maxlen, np.uint8)
+    padded[:blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)
+    keys = set()
+    for row, n in zip(np.asarray(blobs), np.asarray(lens).reshape(-1)):
+        text = bytes(row[:int(n)]).decode()
+        keys.update(k for k in text.split("\n") if k)
+    keys = sorted(keys)
+
+    vec = np.asarray(
+        [avg_metrics.get(k, 0.0) * count for k in keys] + [count], np.float64)
     gathered = multihost_utils.process_allgather(vec)
     total = gathered.sum(axis=0)
     n = max(total[-1], 1.0)

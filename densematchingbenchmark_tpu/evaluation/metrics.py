@@ -59,7 +59,8 @@ def calc_error(est_disp, gt_disp, lb=None, ub=None, extra_mask=None,
     return out
 
 
-def occlusion_mask(ref_gt_disp, target_gt_disp, theta=1.0, eps=1e-6):
+def occlusion_mask(ref_gt_disp, target_gt_disp, theta=1.0, eps=1e-6,
+                   compat_grid_sample=False):
     """LR-consistency occlusion mask: 1 = occluded.
 
     Warps the right GT disparity to the left view with -left_disp; a pixel is
@@ -68,25 +69,32 @@ def occlusion_mask(ref_gt_disp, target_gt_disp, theta=1.0, eps=1e-6):
 
     Args:
       ref_gt_disp, target_gt_disp: [B, H, W, 1] left/right GT disparity.
+      compat_grid_sample: use the reference's biased grid_sample warp
+        (see ops/warp.inverse_warp_2d) so the occ/noc split is bit-faithful
+        to eval.py:115-121; the default is the mathematically exact warp
+        (documented divergence, DESIGN.md §4).
 
     Returns:
       [B, H, W, 1] float mask.
     """
-    warped = inverse_warp_2d(target_gt_disp, -ref_gt_disp)
+    warped = inverse_warp_2d(target_gt_disp, -ref_gt_disp,
+                             compat_grid_sample=compat_grid_sample)
     occ = (jnp.abs(warped - ref_gt_disp) > theta) | (jnp.abs(warped) < eps)
     return occ.astype(ref_gt_disp.dtype)
 
 
 def calc_error_with_occlusion(est_disp, ref_gt_disp, target_gt_disp, lb, ub,
-                              per_sample=False):
+                              per_sample=False, compat_grid_sample=False):
     """occ_/noc_-prefixed error dicts via LR-consistency split.
 
     Parity note: the reference multiplies disparities by the mask and re-runs
     calc_error, so masked-out pixels fail the (lb, ub) validity check; the
     effect equals AND-ing the mask into validity (with lb >= 0), which is
-    what we do directly.
+    what we do directly (tests/test_reference_metric_parity.py checks both
+    against the live reference).
     """
-    occ = occlusion_mask(ref_gt_disp, target_gt_disp) > 0.5
+    occ = occlusion_mask(ref_gt_disp, target_gt_disp,
+                         compat_grid_sample=compat_grid_sample) > 0.5
     out = {}
     for key, val in calc_error(est_disp, ref_gt_disp, lb, ub,
                                extra_mask=occ,

@@ -148,16 +148,20 @@ class DeepPruner(nn.Module):
     refinement_num: int = 1
     refinement_pack: int = 0  # see RefinementHead.pack
     # PatchMatch scoring schedule. MEASURED on v5e at 384x1280 (honest
-    # distinct-input harness, whole-model):
-    #   'warp'      f32 feature warps             136.3 ms  <- default
-    #   'warp_bf16' compute-dtype feature warps   165.7 ms (bf16 (2,1)
+    # distinct-input harness, whole-model, DeepPruner-4x):
+    #   'corr'      gather-free windowed-tent contraction of a precomputed
+    #               integer-shift correlation volume (identical numerics by
+    #               dot-product linearity + the static per-interval sample
+    #               bound; DESIGN.md §7)        48.2 ms  <- config default
+    #   'warp'      f32 feature warps          136.3 ms (this field's
+    #               default for generality: 'corr' needs a static [0, R]
+    #               search range)
+    #   'warp_bf16' compute-dtype feature warps 165.7 ms (bf16 (2,1)
     #               sublane-packed gathers lower WORSE despite half the
     #               bytes)
-    #   'corr'      precomputed integer-shift correlation + axis-1 score
-    #               gathers (identical numerics by dot-product linearity)
-    #                                             213.6 ms (scalar-element
-    #               gathers; the W-axis warp fetches contiguous 32-channel
-    #               rows)
+    # A DISCARDED round-3 'corr' variant that gathered scores along the
+    # shift axis measured 213.6 ms (scalar-element axis-1 gathers); the
+    # shipped tent contraction has zero gathers.
     pm_scoring: str = "warp"
     batch_norm: bool = True
     dtype: Any = jnp.float32
@@ -185,7 +189,8 @@ class DeepPruner(nn.Module):
             self.patch_match_sample_number, self.propagation_filter_size,
             self.iterations, self.temperature,
             static_search_range=(feat_max_disp
-                                 if self.pm_scoring == "corr" else None))
+                                 if self.pm_scoring == "corr" else None),
+            batch_invariant_noise=not train)
 
         def build_cost(samples, extra_feats=()):
             raw = cat_volume(ref_fms, tgt_fms, self.max_disp,

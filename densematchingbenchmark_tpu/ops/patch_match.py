@@ -159,7 +159,8 @@ def _evaluate(left, right, samples, noise, filter_size, temperature,
 
 def patch_match(left, right, min_disparity, max_disparity, key,
                 disparity_sample_number=14, propagation_filter_size=3,
-                iterations=3, temperature=7.0, static_search_range=None):
+                iterations=3, temperature=7.0, static_search_range=None,
+                batch_invariant_noise=False):
     """Generate per-pixel disparity samples via differentiable PatchMatch.
 
     Args:
@@ -202,7 +203,15 @@ def patch_match(left, right, min_disparity, max_disparity, key,
     interval_min_rep = jnp.repeat(interval_min, propagation_filter_size,
                                   axis=1)
 
-    noise = jax.random.uniform(key, (b, n, h, w), jnp.float32)
+    if batch_invariant_noise:
+        # Every sample in the batch gets the SAME init noise — the batch-1
+        # draw broadcast — so eval metrics are independent of eval batch
+        # size/composition and bitwise-match the reference's batch-1
+        # protocol (ADVICE r3: PRNG-at-eval batch sensitivity).
+        noise = jnp.broadcast_to(
+            jax.random.uniform(key, (1, n, h, w), jnp.float32), (b, n, h, w))
+    else:
+        noise = jax.random.uniform(key, (b, n, h, w), jnp.float32)
 
     samples = None
     for _ in range(iterations):

@@ -55,7 +55,7 @@ def gather_1d_linear(src, x, axis):
     return tap(x0i, 1.0 - frac) + tap(x1i, frac)
 
 
-def inverse_warp_2d(img, disp):
+def inverse_warp_2d(img, disp, compat_grid_sample=False):
     """Warp ``img`` (the source/right view) to the reference view.
 
     out[b, y, x, c] = img[b, y, x + disp[b, y, x], c]  (linear interp, zero
@@ -67,6 +67,13 @@ def inverse_warp_2d(img, disp):
     Args:
       img: [B, H, W, C] source image/features.
       disp: [B, H, W, 1] or [B, H, W] horizontal offset added to x.
+      compat_grid_sample: reproduce the reference's exact numerics (the 2-D
+        analog of inverse_warp_3d's flag): align_corners=True-normalized
+        coords fed to an align_corners=False grid_sample rescale every axis
+        p -> p * n/(n-1) - 0.5 (blending adjacent rows on H), and samples
+        whose pre-rescale x falls outside [0, W-1] are force-zeroed
+        (inverse_warp.py:32-36 sets their normalized coords to 2). Off by
+        default — the mathematically exact warp.
 
     Returns:
       [B, H, W, C] warped image.
@@ -75,6 +82,13 @@ def inverse_warp_2d(img, disp):
         disp = disp[..., 0]
     b, h, w, c = img.shape
     xs = jnp.arange(w, dtype=disp.dtype)[None, None, :] + disp  # [B, H, W]
+    if compat_grid_sample:
+        inframe = (xs >= 0) & (xs <= w - 1)
+        ys = jnp.arange(h, dtype=disp.dtype) * (h / (h - 1)) - 0.5
+        img = gather_1d_linear(img, ys[None, :, None, None], axis=1)
+        xs = xs * (w / (w - 1)) - 0.5
+        out = gather_1d_linear(img, xs[..., None], axis=2)
+        return out * inframe[..., None].astype(out.dtype)
     return gather_1d_linear(img, xs[..., None], axis=2)
 
 

@@ -93,3 +93,50 @@ def test_batched_eval_buckets_heterogeneous_shapes():
     for k in r1:
         np.testing.assert_allclose(r2[k], r1[k], rtol=1e-5, atol=1e-5,
                                    err_msg=k)
+
+
+def test_eval_raises_on_dataset_read_error():
+    """A corrupt sample mid-eval must fail loudly, not silently truncate
+    the averaged sample set (ADVICE r3 medium)."""
+    cfg = _tiny_stereonet()
+    model = build_model(cfg)
+    mean, std = cfg["data"]["mean"], cfg["data"]["std"]
+    base = SyntheticStereoDataset(length=5, height=64, width=128,
+                                  max_disp=24)
+    base.transform = transforms.make_eval_transform((64, 128), mean, std)
+
+    class CorruptDataset:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i, rng=None):
+            if i == 3:
+                raise IOError("corrupt PFM")
+            return base.__getitem__(i, rng=rng)
+
+    dummy = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy, dummy, train=False)
+    eval_cfg = {"lower_bound": 0, "upper_bound": 32}
+    import pytest
+    with pytest.raises(IOError, match="corrupt PFM"):
+        evaluate(model, variables, CorruptDataset(), eval_cfg, batch_size=2)
+
+
+def test_patch_match_eval_noise_is_batch_invariant():
+    """Eval-time PatchMatch init noise must not depend on batch
+    size/composition (ADVICE r3: PRNG-at-eval batch sensitivity)."""
+    from densematchingbenchmark_tpu.ops.patch_match import patch_match
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(2, 8, 16, 4), jnp.float32)
+    right = jnp.asarray(rng.rand(2, 8, 16, 4), jnp.float32)
+    zeros = jnp.zeros((2, 8, 16, 1), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    both = patch_match(left, right, zeros, zeros + 8.0, key,
+                       disparity_sample_number=6, iterations=1,
+                       batch_invariant_noise=True)
+    for b in range(2):
+        one = patch_match(left[b:b + 1], right[b:b + 1], zeros[:1],
+                          zeros[:1] + 8.0, key, disparity_sample_number=6,
+                          iterations=1, batch_invariant_noise=True)
+        np.testing.assert_allclose(np.asarray(both)[b], np.asarray(one)[0],
+                                   rtol=1e-6, atol=1e-6)

@@ -38,7 +38,7 @@ def test_config_builds_and_inits(name):
         # init alone costs minutes of CPU compile; these families have
         # dedicated full forward/backward tests (test_deeppruner/test_anynet)
         pytest.skip("covered by dedicated family tests")
-    if name.endswith("_bf16"):
+    if name.endswith("_bf16") or name.endswith("_f32"):
         # dtype-only wrappers of the base configs; one representative below
         if name != "PSMNet/scene_flow_bf16":
             pytest.skip("dtype-only variant of the base config")
@@ -50,3 +50,24 @@ def test_config_builds_and_inits(name):
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(variables["params"]))
     assert n_params > 1e4, f"{name}: suspiciously few params ({n_params})"
+
+
+def test_default_dtype_is_backend_conditional(monkeypatch):
+    """get_config() ships the backend's measured-best precision: bf16 on
+    TPU (mirroring the reference's always-on apex O1), f32 on CPU; the
+    _f32/_bf16 suffixes and explicit model.dtype pin it."""
+    # tests run on the CPU backend (conftest) -> f32 default
+    monkeypatch.delenv("DMB_DEFAULT_DTYPE", raising=False)
+    assert get_config("PSMNet/scene_flow")["model"]["dtype"] == "float32"
+    # TPU backends resolve to bf16 (simulated via the env override the
+    # resolver consults before probing the backend)
+    monkeypatch.setenv("DMB_DEFAULT_DTYPE", "bfloat16")
+    assert get_config("PSMNet/scene_flow")["model"]["dtype"] == "bfloat16"
+    # pinned names/overrides win over the backend default
+    assert get_config("PSMNet/scene_flow_f32")["model"]["dtype"] == "float32"
+    assert get_config("PSMNet/scene_flow",
+                      **{"model.dtype": "float32"})["model"]["dtype"] == \
+        "float32"
+    monkeypatch.delenv("DMB_DEFAULT_DTYPE")
+    assert get_config("PSMNet/scene_flow_bf16")["model"]["dtype"] == \
+        "bfloat16"
