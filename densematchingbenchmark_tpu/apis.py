@@ -18,21 +18,59 @@ from .evaluation.metrics import remove_padding
 
 
 class StereoModel:
-    """A built model + variables + shape-cached jitted forwards."""
+    """A built model + variables + shape-cached jitted forwards.
+
+    Compile-failure fallback (VERDICT r3 #1): the packed trunk schedules
+    are pure schedule changes with identical parameter trees, so when a
+    (shape, pack) combination fails TPU compilation (observed: GCNet
+    unpacked and pack=4 at 384x1248 — remote-compile 500, DESIGN.md §7),
+    the forward retries the same weights with a downgraded pack instead of
+    surfacing a hard error; the downgrade is logged.
+    """
 
     def __init__(self, cfg, variables):
         self.cfg = cfg
         self.variables = variables
         self._jitted = {}
 
+    def _schedule_ladder(self):
+        """(label, cfg) candidates: shipped schedule first, then smaller
+        packs. Params are identical across packs (DESIGN.md §3)."""
+        import copy
+        agg = self.cfg.get("model", {}).get("cost_processor", {}) \
+                      .get("cost_aggregator", {})
+        pack = int(agg.get("pack", 0) or 0)
+        yield f"pack={pack}", self.cfg
+        for q in (2, 0):
+            if q < pack:
+                cfg = copy.deepcopy(self.cfg)
+                cfg["model"]["cost_processor"]["cost_aggregator"]["pack"] = q
+                yield f"pack={q}", cfg
+
     def forward(self, left, right):
         import jax
         key = (left.shape, right.shape)
-        if key not in self._jitted:
-            model = build_model(self.cfg)
-            self._jitted[key] = jax.jit(
-                lambda v, l, r: model.apply(v, l, r, train=False))
-        return self._jitted[key](self.variables, left, right)
+        if key in self._jitted:
+            return self._jitted[key](self.variables, left, right)
+        last_err = None
+        for label, cfg_try in self._schedule_ladder():
+            model = build_model(cfg_try)
+            fn = jax.jit(
+                lambda v, l, r, m=model: m.apply(v, l, r, train=False))
+            try:
+                out = fn(self.variables, left, right)
+                jax.block_until_ready(out)
+            except (jax.errors.JaxRuntimeError, RuntimeError) as e:
+                import logging
+                logging.getLogger("densematchingbenchmark_tpu").warning(
+                    "forward %s failed to compile/run at %s (%s: %s); "
+                    "retrying a downgraded schedule", label,
+                    left.shape, type(e).__name__, str(e)[:200])
+                last_err = e
+                continue
+            self._jitted[key] = fn
+            return out
+        raise last_err
 
 
 def init_model(config_name_or_cfg, checkpoint_dir=None, **overrides):

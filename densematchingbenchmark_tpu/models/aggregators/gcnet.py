@@ -24,6 +24,12 @@ class GCAggregator(nn.Module):
     # pack=2 is the divisibility-safe choice here: the 4 stride-2 stages
     # need even packed-row counts, i.e. (max_disp/2) % (16*pack) == 0.
     pack: int = 0
+    # phase_argmin: emit the layer-37 cost head in phase form (the full-res
+    # [B, 2D, 2H, 2W, 1] volume — 92M voxels, 28 ms/iter measured — is
+    # never materialized; its only consumer is the soft-argmin over D,
+    # evaluated in phase layout by ops/soft_argmin.phase_soft_argmin).
+    # Requires GeneralizedStereoModel.phase_argmin (wired by the builder).
+    phase_argmin: bool = False
     # D-sharded cost-volume support: the GC trunk is one strided
     # encoder-decoder, so under D-sharding the WHOLE trunk runs batch-only
     # (see PSMAggregator.strided_sharding / parallel/mesh docstring).
@@ -81,7 +87,12 @@ class GCAggregator(nn.Module):
         c36 = deconv(f)(c35 + c23, train)
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
                                  dtype=dt, pack=pk,
+                                 phase_form=self.phase_argmin,
                                  name="ConvTransposeExact_0")(c36 + c20)
+        if self.phase_argmin:
+            # [B, D/pk, H, W, pk*8] phase-form cost; the model's
+            # phase_soft_argmin consumes it (pack inferred from channels)
+            return [c37]
         if pk > 1 and c37.shape[-1] == pk:
             # packed head output (the bench-only DMB_C1_S2_PHASE=1 path
             # returns the volume already unpacked)

@@ -134,6 +134,28 @@ def build_model(cfg, mesh=None):
             agg["return_low_res"] = True
             cp["cost_aggregator"] = agg
             model_cfg["cost_processor"] = cp
+        # GCNet phase-argmin head: the full-res cost volume's only consumer
+        # is the soft-argmin over D, so the layer-37 head stays in phase
+        # layout and the volume is never materialized (ops/conv3d.
+        # conv3d_transpose_s2_c1_phase_form + soft_argmin.phase_soft_argmin).
+        # Valid only when nothing else reads the volume (no cmn, no local
+        # predictor) and the disparity range is the plain 0..D-1 ladder.
+        pred = model_cfg["disp_predictor"]
+        phase = (model_cfg["cost_processor"]["cost_aggregator"].get(
+                     "phase_argmin", False)
+                 and model_cfg["cost_processor"]["cost_aggregator"]["type"]
+                 == "GCNet"
+                 and "cmn" not in model_cfg
+                 and pred["type"] in ("FASTER", "DEFAULT")
+                 and pred.get("start_disp", 0) == 0
+                 and pred.get("dilation", 1) == 1)
+        if not phase:
+            cp = dict(model_cfg["cost_processor"])
+            agg = {k: v for k, v in cp["cost_aggregator"].items()
+                   if k != "phase_argmin"}
+            cp["cost_aggregator"] = agg
+            model_cfg = dict(model_cfg)
+            model_cfg["cost_processor"] = cp
         cmn = None
         if "cmn" in model_cfg:
             c = model_cfg["cmn"]
@@ -156,6 +178,7 @@ def build_model(cfg, mesh=None):
             cmn=cmn,
             disp_refinement=refinement,
             fused_upsample_argmin=fused,
+            phase_argmin=phase,
             max_disp=model_cfg["max_disp"])
     if arch == "AnyNet":
         comp = model_cfg["cost_processor"]["cost_computation"]

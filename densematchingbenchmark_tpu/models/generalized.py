@@ -32,6 +32,12 @@ class GeneralizedStereoModel(nn.Module):
     # full-res cost volume is never materialized; eval 'costs' are then the
     # LOW-RES volumes). Training keeps the XLA upsample path for autodiff.
     fused_upsample_argmin: bool = False
+    # With a GCNet aggregator in phase_argmin mode, the cost head arrives
+    # in phase layout [B, D/pack, H, W, pack*8] and the disparity is read
+    # out by ops/soft_argmin.phase_soft_argmin (the full-res volume is
+    # never materialized; eval 'costs' are the PHASE-FORM volumes —
+    # ops/conv3d.phase_cost_to_volume materializes one for inspection).
+    phase_argmin: bool = False
     max_disp: int = 192
 
     @nn.compact
@@ -50,6 +56,12 @@ class GeneralizedStereoModel(nn.Module):
                 disps = [fused_upsample_soft_argmin(
                     c, self.max_disp, h, w, start_disp=p.start_disp,
                     dilation=p.dilation, alpha=p.alpha) for c in costs]
+        elif self.phase_argmin:
+            from ..ops.soft_argmin import phase_soft_argmin
+            p = self.disp_predictor
+            disps = [phase_soft_argmin(c, pack=c.shape[-1] // 8,
+                                       alpha=p.alpha, normalize=p.normalize)
+                     for c in costs]
         else:
             disps = [self.disp_predictor(cost) for cost in costs]
 

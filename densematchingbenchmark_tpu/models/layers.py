@@ -120,6 +120,12 @@ class ConvTransposeExact(nn.Module):
     # pack > 1: input/output are trunk-packed [B, R, H, W, pack*C] volumes
     # (ops/conv3d.py); only the k3/s2/p1/op1 3-D case is supported packed.
     pack: int = 1
+    # phase_form: return the k3/s2 1-channel head's output in PHASE LAYOUT
+    # [B, D/pack, H, W, pack*8] (ops/conv3d.conv3d_transpose_s2_c1_phase_form)
+    # instead of the materialized [B, 2D, 2H, 2W, 1] volume — for consumers
+    # that reduce over D (phase_soft_argmin). Same "kernel"/"bias" params as
+    # the direct form, so checkpoints are interchangeable.
+    phase_form: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -131,6 +137,19 @@ class ConvTransposeExact(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.he_normal(),
             ks + (in_features, self.features), jnp.float32)
+        if self.phase_form:
+            assert (self.dims == 3 and self.features == 1
+                    and ks == (3, 3, 3) and ss == (2, 2, 2)
+                    and ps == (1, 1, 1) and ops == (1, 1, 1)), (
+                        "phase_form supports only the k3/s2/p1/op1 c1 head")
+            out = conv3d_ops.conv3d_transpose_s2_c1_phase_form(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                pack=self.pack)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (1,), jnp.float32)
+                out = out + bias.astype(self.dtype)
+            return out  # [B, D/pack, H, W, pack*8] phase-form
         if (self.dims == 3 and self.features == 1 and ks == (3, 3, 3)
                 and ss == (2, 2, 2) and ps == (1, 1, 1)
                 and ops == (1, 1, 1)

@@ -647,6 +647,81 @@ def conv3d_transpose_s2_c1_phase(x, kernel):
     return y.reshape(b, 2 * d, 2 * h, 2 * w)
 
 
+def conv3d_transpose_s2_c1_phase_form(xp, kernel, pack=1):
+    """GCNet cost head in PHASE FORM: no pixel shuffle, no full-res volume.
+
+    ConvTranspose3d(Ci->1, k=3, s=2, p=1, op=1) — reference
+    aggregators/GCNet.py:7-120 layer 37 — consumed directly from the
+    (possibly trunk-packed) input, producing the full-resolution cost in
+    phase layout: channel ``r*8 + pd*4 + ph*2 + pw`` of depth block ``q``
+    holds output voxel ``(2*(pack*q + r) + pd, 2h + ph, 2w + pw)``.
+
+    Rationale: the direct lowering's [B, 2D, 2H, 2W, 1] output (92M voxels
+    at 384x1248) has a 1-wide minor dim (28 ms/iter measured on v5e — the
+    most expensive op in GCNet), and the round-3 8-phase+pixel-shuffle
+    attempt lost to relayouts (DESIGN.md §7). But the ONLY consumer of the
+    volume is the soft-argmin over D (GCNet's losses/predictor touch
+    nothing else), and soft-argmin can be evaluated in phase layout
+    (ops/soft_argmin.phase_soft_argmin) — so neither the shuffle nor the
+    1-lane volume ever needs to exist.
+
+    Args:
+      xp: [B, D/pack, H, W, pack*Ci] packed input (pack=1: plain NDHWC).
+      kernel: [3, 3, 3, Ci, 1] ConvTransposeExact parameter (unflipped).
+
+    Returns:
+      [B, D/pack, H, W, pack*8] phase-form cost.
+    """
+    b, dq, h, w, cp = xp.shape
+    ci = cp // pack
+    kd, kh, kw, kci, co = kernel.shape
+    assert (kd, kh, kw, co) == (3, 3, 3, 1) and kci == ci, (
+        kernel.shape, xp.shape)
+    k3 = kernel[..., 0]  # [3,3,3,Ci]
+    # per-axis (phase, tap) -> kernel index; -1 = structurally zero
+    # (out[2m] = K[1]·x[m]; out[2m+1] = K[0]·x[m] + K[2]·x[m+1])
+    idx = ((1, -1), (0, 2))
+    kp = jnp.zeros((2, 2, 2, pack * ci, pack * 8), kernel.dtype)
+    for r_ in range(pack):            # unpacked row within the depth block
+        for pd_ in range(2):
+            for ad in range(2):       # depth tap
+                kd_ = idx[pd_][ad]
+                if kd_ < 0:
+                    continue
+                rin = r_ + ad
+                adp, rin = rin // pack, rin % pack   # block offset, row
+                for ph_ in range(2):
+                    for ah in range(2):
+                        kh_ = idx[ph_][ah]
+                        if kh_ < 0:
+                            continue
+                        for pw_ in range(2):
+                            for aw in range(2):
+                                kw_ = idx[pw_][aw]
+                                if kw_ < 0:
+                                    continue
+                                cout = r_ * 8 + pd_ * 4 + ph_ * 2 + pw_
+                                kp = kp.at[
+                                    adp, ah, aw,
+                                    rin * ci:(rin + 1) * ci, cout].set(
+                                        k3[kd_, kh_, kw_])
+    kp = kp.astype(xp.dtype)
+    return lax.conv_general_dilated(
+        xp, kp, window_strides=(1, 1, 1), padding=[(0, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def phase_cost_to_volume(yp, pack=1):
+    """Materialize a phase-form cost (conv3d_transpose_s2_c1_phase_form)
+    into the plain [B, 2D, 2H, 2W] volume — for visualization/inspection
+    paths (view_cost) only; the hot path never calls this."""
+    b, dq, h, w, c = yp.shape
+    assert c == pack * 8, (yp.shape, pack)
+    y = yp.reshape(b, dq, h, w, pack, 2, 2, 2)
+    y = jnp.transpose(y, (0, 1, 4, 5, 2, 6, 3, 7))
+    return y.reshape(b, dq * pack * 2, 2 * h, 2 * w)
+
+
 def conv3d_opack(x, kernel, strides=(1, 1, 1), padding=(1, 1, 1),
                  dilation=(1, 1, 1), pack=4):
     """conv3d with `pack` consecutive OUTPUT D slices packed into channels.

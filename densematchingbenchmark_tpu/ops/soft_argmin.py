@@ -47,6 +47,51 @@ def soft_argmin(cost_volume, disp_sample=None, max_disp=None, start_disp=0,
     return disp[..., None]
 
 
+def phase_soft_argmin(phase_cost, pack=1, alpha=1.0, normalize=True):
+    """Soft-argmin evaluated directly on a PHASE-FORM full-res cost.
+
+    Input layout = ops/conv3d.conv3d_transpose_s2_c1_phase_form: channel
+    ``r*8 + pd*4 + ph*2 + pw`` of depth block ``q`` is cost voxel
+    ``(d, y, x) = (2*(pack*q + r) + pd, 2h + ph, 2w + pw)``. The softmax +
+    expectation over d is separable per spatial phase (each output pixel
+    belongs to exactly one (ph, pw)), so the reduction runs over the
+    (q, r, pd) axes in the phase layout — elementwise VPU work with no
+    relayout — and only the 4 FINAL [B, H, W] disparity maps get pixel-
+    shuffled (1.9M floats vs the 92M-voxel volume at 384x1248).
+
+    Matches soft_argmin(volume, max_disp=2*pack*Dq, start_disp=0,
+    dilation=1, alpha, normalize) on the materialized volume exactly
+    (modulo float association); parity: faster_soft_argmin.py:6-89.
+
+    Args:
+      phase_cost: [B, Dq, H, W, pack*8].
+
+    Returns:
+      [B, 2H, 2W, 1] disparity map.
+    """
+    b, dq, h, w, c = phase_cost.shape
+    assert c == pack * 8, (phase_cost.shape, pack)
+    y = phase_cost.astype(jnp.float32).reshape(b, dq, h, w, pack, 2, 2, 2)
+    logits = y * alpha
+    # disparity value per (q, r, pd): 2*(pack*q + r) + pd
+    dvals = (2 * pack * jnp.arange(dq, dtype=jnp.float32)[:, None, None]
+             + 2 * jnp.arange(pack, dtype=jnp.float32)[None, :, None]
+             + jnp.arange(2, dtype=jnp.float32)[None, None, :])  # [Dq,pack,2]
+    dvals = dvals[None, :, None, None, :, :, None, None]
+    # -> [1, Dq, 1, 1, pack, 2, 1, 1], aligned with y's (q, r, pd) axes
+    red = (1, 4, 5)                                # (q, r, pd)
+    if normalize:
+        m = jnp.max(logits, axis=red, keepdims=True)
+        e = jnp.exp(logits - m)
+        z = jnp.sum(e, axis=red, keepdims=True)
+        num = jnp.sum(e * dvals, axis=red, keepdims=True)
+        disp = (num / z)[:, 0, :, :, 0, 0]         # [B,H,W,2,2] (ph,pw)
+    else:
+        disp = jnp.sum(logits * dvals, axis=red)    # [B,H,W,2,2]
+    disp = jnp.transpose(disp, (0, 1, 3, 2, 4))    # [B,H,ph,W,pw]
+    return disp.reshape(b, 2 * h, 2 * w)[..., None]
+
+
 def local_soft_argmin(cost_volume, max_disp, radius, start_disp=0, dilation=1,
                       radius_dilation=1, alpha=1.0):
     """Windowed soft-argmin around the argmax sample (eval-time predictor).
