@@ -16,8 +16,17 @@ def _base():
             # per-conv speedup, packing is what makes full-res (384x1248)
             # GCNet compile at all on v5e: the unpacked 1-channel
             # ConvTranspose output tile-pads 128x in HBM and OOMs.
+            # pack=2 + phase_argmin + split_concat: measured v5e 384x1248
+            # b1 bf16: 211.1 (r3 baseline) -> 182.5 (phase head: the
+            # full-res volume's only consumer is soft-argmin, so the
+            # 28 ms 1-lane deconv head is computed in phase layout and
+            # the volume never materializes except for vis, via DCE) ->
+            # 155.5 ms (split_concat: the dense skip concats' stride-2
+            # convs run as sum-of-sliced-kernel convs, killing ~27 ms of
+            # concat/pad relayouts). All three are exact schedule changes
+            # (tests/ops/test_phase_argmin.py).
             cost_aggregator=dict(type="GCNet", max_disp=192, in_planes=64,
-                                 pack=2),
+                                 pack=2, phase_argmin=True),
         ),
         losses=dict(
             l1_loss=dict(max_disp=192, weights=(1.0,), weight=1.0),

@@ -30,6 +30,12 @@ class GCAggregator(nn.Module):
     # evaluated in phase layout by ops/soft_argmin.phase_soft_argmin).
     # Requires GeneralizedStereoModel.phase_argmin (wired by the builder).
     phase_argmin: bool = False
+    # split_concat: evaluate the dense skip concats' stride-2 convs as
+    # sum-of-sliced-kernel convs (conv(cat(a,b)) == conv(a)+conv(b), exact
+    # by linearity; shared param) instead of materializing the concat —
+    # the concat/pad relayouts around cat(c18,c20) etc. cost ~40 ms/iter
+    # at 384x1248 (round-4 xplane). See DispatchConv3D.
+    split_concat: bool = True
     # D-sharded cost-volume support: the GC trunk is one strided
     # encoder-decoder, so under D-sharding the WHOLE trunk runs batch-only
     # (see PSMAggregator.strided_sharding / parallel/mesh docstring).
@@ -61,6 +67,8 @@ class GCAggregator(nn.Module):
                             output_padding=1, dtype=dt, pack=pk)
 
         def cat(a, b):
+            if self.split_concat:
+                return (a, b)  # consumed by ConvUnit's split-concat form
             if pk > 1:
                 return concat_packed([a, b], pk)
             return jnp.concatenate([a, b], -1)

@@ -58,9 +58,16 @@ class GeneralizedStereoModel(nn.Module):
                     dilation=p.dilation, alpha=p.alpha) for c in costs]
         elif self.phase_argmin:
             from ..ops.soft_argmin import phase_soft_argmin
+            from ..ops.conv3d import phase_cost_to_volume
             p = self.disp_predictor
             disps = [phase_soft_argmin(c, pack=c.shape[-1] // 8,
                                        alpha=p.alpha, normalize=p.normalize)
+                     for c in costs]
+            # Materialized volumes for the 'costs' output: pure relayout,
+            # DEAD-CODE-ELIMINATED whenever the caller only consumes disps
+            # (bench, eval metrics, train loss) and materialized only for
+            # the visualization/view_cost paths that index costs.
+            costs = [phase_cost_to_volume(c, pack=c.shape[-1] // 8)
                      for c in costs]
         else:
             disps = [self.disp_predictor(cost) for cost in costs]

@@ -242,12 +242,58 @@ class DispatchConv3D(nn.Module):
         """epilogue: optional (scale[Co], bias[Co], relu) — a per-channel
         affine (+ReLU) fused after the conv (eval-mode folded BN). On the
         packed stride-1 Pallas route the epilogue runs inside the kernel;
-        otherwise it is applied as plain elementwise ops (same math)."""
+        otherwise it is applied as plain elementwise ops (same math).
+
+        ``x`` may be a TUPLE of volumes: conv(concat(parts)) is evaluated
+        as sum(conv(part, kernel_slice)) without materializing the concat
+        — exact by linearity (kernel sliced along Ci in part order, one
+        shared param). GCNet's dense skip concats feed stride-2 convs whose
+        concat/pad relayouts cost ~40 ms/iter at 384x1248 (xplane, round
+        4); the split form reads each part in its existing layout.
+        """
+        parts = x if isinstance(x, (tuple, list)) else (x,)
+        ci_parts = [p.shape[-1] // self.pack for p in parts]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            tuple(self.kernel_size) + (x.shape[-1] // self.pack,
-                                       self.features),
+            tuple(self.kernel_size) + (sum(ci_parts), self.features),
             jnp.float32)
+
+        if len(parts) > 1:
+            conv_bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,),
+                                   jnp.float32) if self.use_bias else None
+            out = None
+            lo = 0
+            for p, ci in zip(parts, ci_parts):
+                ks = kernel[..., lo:lo + ci, :].astype(self.dtype)
+                lo += ci
+                if self.pack > 1:
+                    y = conv3d_ops.conv3d_packed(
+                        p.astype(self.dtype), ks, self.pack,
+                        strides=tuple(self.strides),
+                        padding=tuple(self.padding),
+                        dilation=tuple(self.kernel_dilation))
+                else:
+                    y = conv3d_ops.conv3d_apply(
+                        p.astype(self.dtype), ks,
+                        strides=tuple(self.strides),
+                        padding=tuple(self.padding),
+                        dilation=tuple(self.kernel_dilation))
+                out = y if out is None else out + y
+            tile = self.pack if self.pack > 1 else 1
+            if epilogue is not None:
+                scale, ebias, relu = epilogue
+                full_bias = ebias if conv_bias is None \
+                    else conv_bias * scale + ebias
+                out = out.astype(jnp.float32) * jnp.tile(scale, tile) \
+                    + jnp.tile(full_bias, tile)
+                if relu:
+                    out = nn.relu(out)
+                return out.astype(self.dtype)
+            if conv_bias is not None:
+                out = out + jnp.tile(conv_bias, tile).astype(out.dtype)
+            return out.astype(self.dtype)
+        x = parts[0]
         conv_bias = None
         if self.use_bias:
             conv_bias = self.param("bias", nn.initializers.zeros,
@@ -351,7 +397,15 @@ class ConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(self.dtype)
+        if isinstance(x, (tuple, list)):
+            # split-concat form: conv(concat(x)) as sum of sliced-kernel
+            # convs (DispatchConv3D docstring). Only the plain 3-D
+            # conv(+BN/ReLU) shape of the unit supports it.
+            assert self.dims == 3 and not self.transpose \
+                and not self.pre_norm, "tuple input needs a plain 3-D conv"
+            x = tuple(p.astype(self.dtype) for p in x)
+        else:
+            x = x.astype(self.dtype)
 
         def norm(h):
             if not self.batch_norm:
@@ -398,7 +452,8 @@ class ConvUnit(nn.Module):
         else:
             padding, dilation = consistent_padding_with_dilation(
                 self.padding, self.dilation, self.dims)
-            if self.dims == 3 and (self.pack > 1 or conv3d_ops.use_custom()):
+            if self.dims == 3 and (self.pack > 1 or conv3d_ops.use_custom()
+                                   or isinstance(x, tuple)):
                 x = DispatchConv3D(
                     features=self.features,
                     kernel_size=_tuple(self.kernel_size, 3),

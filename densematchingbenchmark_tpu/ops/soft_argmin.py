@@ -71,24 +71,29 @@ def phase_soft_argmin(phase_cost, pack=1, alpha=1.0, normalize=True):
     """
     b, dq, h, w, c = phase_cost.shape
     assert c == pack * 8, (phase_cost.shape, pack)
-    y = phase_cost.astype(jnp.float32).reshape(b, dq, h, w, pack, 2, 2, 2)
-    logits = y * alpha
-    # disparity value per (q, r, pd): 2*(pack*q + r) + pd
-    dvals = (2 * pack * jnp.arange(dq, dtype=jnp.float32)[:, None, None]
-             + 2 * jnp.arange(pack, dtype=jnp.float32)[None, :, None]
-             + jnp.arange(2, dtype=jnp.float32)[None, None, :])  # [Dq,pack,2]
-    dvals = dvals[None, :, None, None, :, :, None, None]
-    # -> [1, Dq, 1, 1, pack, 2, 1, 1], aligned with y's (q, r, pd) axes
-    red = (1, 4, 5)                                # (q, r, pd)
+    # Split ONLY the minor dim: channel c = g*4 + s with g = (r, pd) the
+    # depth sub-phase and s = (ph, pw) the spatial phase. A single
+    # minor-dim split keeps the layout a bitcast (an earlier 8-axis
+    # [.., pack, 2, 2, 2] reshape + f32 upcast cost ~6 ms/iter of copies
+    # at 384x1248 on v5e); the input stays in its compute dtype until the
+    # element-wise exp, which XLA fuses into the reduction.
+    y = phase_cost.reshape(b, dq, h, w, pack * 2, 4)
+    # disparity value per (q, g): 2*(pack*q + g//2) + g%2
+    g = jnp.arange(pack * 2)
+    dvals = (2 * pack * jnp.arange(dq, dtype=jnp.float32)[:, None]
+             + (2 * (g // 2) + g % 2).astype(jnp.float32)[None, :])
+    dvals = dvals[None, :, None, None, :, None]     # [1, Dq, 1, 1, G, 1]
+    red = (1, 4)                                    # (q, g)
     if normalize:
-        m = jnp.max(logits, axis=red, keepdims=True)
-        e = jnp.exp(logits - m)
-        z = jnp.sum(e, axis=red, keepdims=True)
-        num = jnp.sum(e * dvals, axis=red, keepdims=True)
-        disp = (num / z)[:, 0, :, :, 0, 0]         # [B,H,W,2,2] (ph,pw)
+        m = jnp.max(y, axis=red, keepdims=True)     # compute-dtype max
+        e = jnp.exp((y.astype(jnp.float32) - m.astype(jnp.float32)) * alpha)
+        z = jnp.sum(e, axis=red)
+        num = jnp.sum(e * dvals, axis=red)
+        disp = num / z                              # [B, H, W, 4]
     else:
-        disp = jnp.sum(logits * dvals, axis=red)    # [B,H,W,2,2]
-    disp = jnp.transpose(disp, (0, 1, 3, 2, 4))    # [B,H,ph,W,pw]
+        disp = jnp.sum(y.astype(jnp.float32) * alpha * dvals, axis=red)
+    disp = disp.reshape(b, h, w, 2, 2)              # (ph, pw)
+    disp = jnp.transpose(disp, (0, 1, 3, 2, 4))     # [B, H, ph, W, pw]
     return disp.reshape(b, 2 * h, 2 * w)[..., None]
 
 

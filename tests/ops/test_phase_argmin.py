@@ -88,3 +88,44 @@ def test_gcnet_model_phase_argmin_parity():
     g = jax.grad(loss)(variables["params"])
     gnorm = sum(float(jnp.sum(jnp.square(x))) for x in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.parametrize("pack", [0, 2])
+def test_gcnet_split_concat_parity(pack):
+    """conv(cat(a,b)) == conv(a)+conv(b) with the shared sliced kernel:
+    GCNet with split_concat on vs off, identical weights, packed and
+    unpacked trunks."""
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+
+    tiny = {"model.max_disp": 32, "model.dtype": "float32",
+            "model.cost_processor.cost_computation.max_disp": 16,
+            "model.cost_processor.cost_aggregator.max_disp": 32,
+            "model.cost_processor.cost_aggregator.pack": pack,
+            "model.disp_predictor.max_disp": 32,
+            "model.losses.l1_loss.max_disp": 32}
+    on = build_model(get_config(
+        "GCNet/scene_flow",
+        **{**tiny, "model.cost_processor.cost_aggregator.split_concat": True}))
+    off = build_model(get_config(
+        "GCNet/scene_flow",
+        **{**tiny,
+           "model.cost_processor.cost_aggregator.split_concat": False}))
+
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    right = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    variables = on.init(jax.random.PRNGKey(0), left, right, train=False)
+    d_on = on.apply(variables, left, right, train=False)["disps"][0]
+    d_off = off.apply(variables, left, right, train=False)["disps"][0]
+    np.testing.assert_allclose(np.asarray(d_on), np.asarray(d_off),
+                               rtol=1e-4, atol=1e-4)
+
+    # train mode too (BN batch stats on the summed conv output)
+    t_on, _ = on.apply(variables, left, right, train=True,
+                       mutable=["batch_stats"])
+    t_off, _ = off.apply(variables, left, right, train=True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(t_on["disps"][0]),
+                               np.asarray(t_off["disps"][0]),
+                               rtol=1e-4, atol=1e-4)

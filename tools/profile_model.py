@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--out", default="/tmp/xplane_trace")
+    ap.add_argument("--set", action="append", default=[],
+                    help="config override key=value (value eval'd as "
+                         "Python literal; e.g. --set model.cost_processor."
+                         "cost_aggregator.phase_argmin=True)")
     ap.add_argument("--summarize-only", action="store_true",
                     help="just parse an existing trace dir")
     args = ap.parse_args()
@@ -69,7 +73,15 @@ def main():
     from densematchingbenchmark_tpu.configs import get_config
     from densematchingbenchmark_tpu.models import build_model
 
-    cfg = get_config(args.config, **{"model.dtype": args.dtype})
+    import ast
+    overrides = {"model.dtype": args.dtype}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v
+    cfg = get_config(args.config, **overrides)
     model = build_model(cfg)
     out_key = "flows" if cfg.get("task") == "flow" else "disps"
     h, w = args.height, args.width
