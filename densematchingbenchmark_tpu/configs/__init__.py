@@ -16,6 +16,7 @@ from . import pwcflow
 
 CONFIGS = {
     "PWCFlow/flying_chairs": pwcflow.flying_chairs,
+    "RAFT/flying_chairs": pwcflow.raft_flying_chairs,
     "AnyNet/scene_flow": anynet.scene_flow,
     "DeepPruner/scene_flow_4x": deeppruner.scene_flow_4x,
     "DeepPruner/scene_flow_8x": deeppruner.scene_flow_8x,

@@ -40,3 +40,31 @@ def flying_chairs(**overrides):
     cfg["optimizer"].update(type="adam", lr=1e-4)
     cfg["total_epochs"] = 30
     return _apply_overrides(cfg, overrides)
+
+
+def raft_flying_chairs(**overrides):
+    """RAFT-style recurrent flow (second flow family; the reference
+    registers zero — flow/raft.py docstring). Sequence loss: final convex
+    upsample at weight 1.0, then the per-iteration flows with the RAFT
+    gamma=0.8 decay, latest iteration first."""
+    iters = 8
+    cfg = flying_chairs()
+    cfg["model"] = dict(
+        meta_architecture="RAFTFlow",
+        iters=iters,
+        radius=3,
+        levels=4,
+        hidden=96,
+        context=64,
+        batch_norm=True,
+        dtype="float32",
+        losses=dict(
+            flow_l1_loss=dict(
+                weights=(1.0,) + tuple(0.8 ** k for k in range(iters)),
+                weight=1.0,
+            ),
+        ),
+        eval=dict(sparse=False),
+    )
+    cfg["optimizer"].update(type="adam", lr=4e-4)
+    return _apply_overrides(cfg, overrides)

@@ -146,8 +146,23 @@ def _build_pwcflow(cfg):
     )
 
 
+def _build_raft(cfg):
+    from .raft import RAFTFlow
+    m = cfg["model"]
+    return RAFTFlow(
+        iters=m.get("iters", 8),
+        radius=m.get("radius", 3),
+        levels=m.get("levels", 4),
+        hidden=m.get("hidden", 96),
+        context=m.get("context", 64),
+        batch_norm=m.get("batch_norm", True),
+        dtype=jnp.dtype(m.get("dtype", "float32")),
+    )
+
+
 FLOW_META_ARCHITECTURES = {
     "PWCFlow": _build_pwcflow,
+    "RAFTFlow": _build_raft,
 }
 
 

@@ -14,7 +14,12 @@ Shipped-enabled schedules gated here (configs/*.py defaults):
   - DeepPruner windowed-tent PatchMatch scoring (disp_sampler.scoring)
   - GCNet trunk pack=2 (at a reduced shape where unpacked also compiles)
 
-Gates run in f32 so every mismatch is schedule-caused, not dtype noise.
+Gates run in f32 with jax_default_matmul_precision=highest so every
+mismatch is schedule-caused, not dtype noise: TPU f32 convs otherwise
+multiply in bf16 (f32-accumulate), and that rounding differs per schedule
+— amplified to whole pixels by soft-argmin over near-uniform random-weight
+costs (first gate run measured rel ~1e-2 = exactly bf16 epsilon; forcing
+highest precision collapses it).
 Usage: python tools/tpu_parity_gate.py [--shape 256x640] [--tol 2e-3]
 """
 
@@ -64,6 +69,9 @@ def main():
                     help="max-abs disparity tolerance (px)")
     args = ap.parse_args()
     h, w = (int(x) for x in args.shape.split("x"))
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     gates = [
         ("psmnet_packed_trunk+backbone_rowpack", "PSMNet/scene_flow",
