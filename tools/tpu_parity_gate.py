@@ -85,9 +85,15 @@ def main():
         ("stereonet_refinement_rowpack", "StereoNet/scene_flow_8x_4stage",
          {},  # shipped: disp_refinement.pack=4
          {"model.disp_refinement.pack": 0}, h, w),
+        # Tent scoring reassociates the matching dots (integer-shift corr
+        # volume contracted with static tents vs warp-then-dot) through 3
+        # softmax-selection PatchMatch iterations; measured on-chip f32
+        # residual at highest precision is ~3e-3 px on the 192 px range
+        # (1.5e-5 of range) — reassociation dust, so this gate carries its
+        # own tolerance. A wrong schedule fails by whole pixels.
         ("deeppruner_tent_scoring", "DeepPruner/scene_flow_4x",
          {},  # shipped: disp_sampler.scoring='corr'
-         {"model.disp_sampler.scoring": "warp"}, h, w),
+         {"model.disp_sampler.scoring": "warp"}, h, w, 1e-2),
         # GCNet: unpacked does not compile at full res (DESIGN.md §7) —
         # gate pack=2 vs unpacked at a reduced-but-real shape.
         ("gcnet_pack2_trunk", "GCNet/scene_flow",
@@ -97,10 +103,12 @@ def main():
     ]
 
     failures = []
-    for name, cfg_name, on_ov, off_ov, gh, gw in gates:
+    for gate in gates:
+        name, cfg_name, on_ov, off_ov, gh, gw = gate[:6]
+        tol = gate[6] if len(gate) > 6 else args.tol
         try:
             err, rel = run_pair(cfg_name, on_ov, off_ov, gh, gw)
-            ok = err <= args.tol
+            ok = err <= tol
             print(f"{'PASS' if ok else 'FAIL'} {name:42s} "
                   f"max_abs={err:.2e} px  rel={rel:.2e}  @{gh}x{gw}")
             if not ok:
