@@ -93,9 +93,19 @@ class GCAggregator(nn.Module):
         c34 = deconv(f * 2)(c33 + c29, train)
         c35 = deconv(f * 2)(c34 + c26, train)
         c36 = deconv(f)(c35 + c23, train)
+        po = 1
+        if self.phase_argmin:
+            # widen the head conv's output lanes toward 64 (16 lanes at
+            # pk=2 measured lane-bound, 8.2 ms/iter — DESIGN.md §8)
+            dq = c36.shape[1]
+            for cand in (64 // (8 * pk), 4, 2, 1):
+                if cand >= 1 and dq % max(cand, 1) == 0:
+                    po = max(cand, 1)
+                    break
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
                                  dtype=dt, pack=pk,
                                  phase_form=self.phase_argmin,
+                                 phase_out_blocks=po,
                                  name="ConvTransposeExact_0")(c36 + c20)
         if self.phase_argmin:
             # [B, D/pk, H, W, pk*8] phase-form cost; the model's

@@ -126,6 +126,10 @@ class ConvTransposeExact(nn.Module):
     # that reduce over D (phase_soft_argmin). Same "kernel"/"bias" params as
     # the direct form, so checkpoints are interchangeable.
     phase_form: bool = False
+    # phase_out_blocks > 1 additionally folds that many output depth blocks
+    # into lanes (effective pack becomes phase_out_blocks*pack) — the
+    # lane-widening trade for the 16-lane head conv (ops/conv3d.py).
+    phase_out_blocks: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -144,7 +148,7 @@ class ConvTransposeExact(nn.Module):
                         "phase_form supports only the k3/s2/p1/op1 c1 head")
             out = conv3d_ops.conv3d_transpose_s2_c1_phase_form(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                pack=self.pack)
+                pack=self.pack, out_blocks=self.phase_out_blocks)
             if self.use_bias:
                 bias = self.param("bias", nn.initializers.zeros,
                                   (1,), jnp.float32)

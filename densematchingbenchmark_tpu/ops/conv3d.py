@@ -647,7 +647,7 @@ def conv3d_transpose_s2_c1_phase(x, kernel):
     return y.reshape(b, 2 * d, 2 * h, 2 * w)
 
 
-def conv3d_transpose_s2_c1_phase_form(xp, kernel, pack=1):
+def conv3d_transpose_s2_c1_phase_form(xp, kernel, pack=1, out_blocks=1):
     """GCNet cost head in PHASE FORM: no pixel shuffle, no full-res volume.
 
     ConvTranspose3d(Ci->1, k=3, s=2, p=1, op=1) — reference
@@ -668,27 +668,38 @@ def conv3d_transpose_s2_c1_phase_form(xp, kernel, pack=1):
     Args:
       xp: [B, D/pack, H, W, pack*Ci] packed input (pack=1: plain NDHWC).
       kernel: [3, 3, 3, Ci, 1] ConvTransposeExact parameter (unflipped).
+      out_blocks: fold this many consecutive output depth BLOCKS into the
+        channel axis too — lifts the output lane count from pack*8 to
+        out_blocks*pack*8 (the 16-lane pk=2 head measured lane-bound at
+        8.2 ms/iter on v5e; out_blocks=4 gives 64 lanes). The widened
+        layout equals the out_blocks=1 layout with an effective pack of
+        out_blocks*pack, so phase_soft_argmin/phase_cost_to_volume consume
+        it unchanged with pack=out_blocks*pack. Dense-MAC overhead grows
+        from 2 to (out_blocks+1)/out_blocks*... (window out_blocks+1 vs 2
+        taps) — a lanes-vs-MACs trade, A/B'd on chip.
 
     Returns:
-      [B, D/pack, H, W, pack*8] phase-form cost.
+      [B, D/(pack*out_blocks), H, W, out_blocks*pack*8] phase-form cost.
     """
     b, dq, h, w, cp = xp.shape
     ci = cp // pack
+    po = out_blocks
     kd, kh, kw, kci, co = kernel.shape
     assert (kd, kh, kw, co) == (3, 3, 3, 1) and kci == ci, (
         kernel.shape, xp.shape)
+    assert dq % po == 0, (dq, po)
     k3 = kernel[..., 0]  # [3,3,3,Ci]
     # per-axis (phase, tap) -> kernel index; -1 = structurally zero
     # (out[2m] = K[1]·x[m]; out[2m+1] = K[0]·x[m] + K[2]·x[m+1])
     idx = ((1, -1), (0, 2))
-    kp = jnp.zeros((2, 2, 2, pack * ci, pack * 8), kernel.dtype)
-    for r_ in range(pack):            # unpacked row within the depth block
+    kp = jnp.zeros((po + 1, 2, 2, pack * ci, po * pack * 8), kernel.dtype)
+    for rp in range(po * pack):       # unpacked row within the output tile
         for pd_ in range(2):
             for ad in range(2):       # depth tap
                 kd_ = idx[pd_][ad]
                 if kd_ < 0:
                     continue
-                rin = r_ + ad
+                rin = rp + ad
                 adp, rin = rin // pack, rin % pack   # block offset, row
                 for ph_ in range(2):
                     for ah in range(2):
@@ -700,14 +711,14 @@ def conv3d_transpose_s2_c1_phase_form(xp, kernel, pack=1):
                                 kw_ = idx[pw_][aw]
                                 if kw_ < 0:
                                     continue
-                                cout = r_ * 8 + pd_ * 4 + ph_ * 2 + pw_
+                                cout = rp * 8 + pd_ * 4 + ph_ * 2 + pw_
                                 kp = kp.at[
                                     adp, ah, aw,
                                     rin * ci:(rin + 1) * ci, cout].set(
                                         k3[kd_, kh_, kw_])
     kp = kp.astype(xp.dtype)
     return lax.conv_general_dilated(
-        xp, kp, window_strides=(1, 1, 1), padding=[(0, 1)] * 3,
+        xp, kp, window_strides=(po, 1, 1), padding=[(0, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 

@@ -26,14 +26,17 @@ def _inputs(ci=6, d=8, h=6, w=10, seed=0):
     return x, k
 
 
-@pytest.mark.parametrize("pack", [1, 2, 4])
-def test_phase_form_matches_pixel_shuffled_head(pack):
+@pytest.mark.parametrize("pack,out_blocks", [(1, 1), (2, 1), (4, 1),
+                                             (1, 4), (2, 2), (2, 4)])
+def test_phase_form_matches_pixel_shuffled_head(pack, out_blocks):
     x, k = _inputs()
     ref = conv3d_transpose_s2_c1_phase(x, k)          # [B, 2D, 2H, 2W]
     xin = pack_volume(x, pack) if pack > 1 else x
-    yp = conv3d_transpose_s2_c1_phase_form(xin, k, pack=pack)
-    assert yp.shape == (2, x.shape[1] // pack, 6, 10, pack * 8)
-    vol = phase_cost_to_volume(yp, pack=pack)
+    yp = conv3d_transpose_s2_c1_phase_form(xin, k, pack=pack,
+                                           out_blocks=out_blocks)
+    eff = pack * out_blocks
+    assert yp.shape == (2, x.shape[1] // eff, 6, 10, eff * 8)
+    vol = phase_cost_to_volume(yp, pack=eff)
     np.testing.assert_allclose(np.asarray(vol), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 

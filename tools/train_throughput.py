@@ -55,6 +55,8 @@ FAMILIES = [
 
 
 def measure_train_step(cfg_name, dtype, batch, h, w, iters, overrides=None):
+    # batch None -> the config's own per-device batch (reference
+    # imgs_per_gpu parity; e.g. GCNet trains at 1, not 3)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -66,6 +68,8 @@ def measure_train_step(cfg_name, dtype, batch, h, w, iters, overrides=None):
                                                     make_train_step)
 
     cfg = get_config(cfg_name, **{"model.dtype": dtype}, **(overrides or {}))
+    if batch is None:
+        batch = int(cfg["data"].get("batch_size_per_device", 3))
     model = build_model(cfg)
     rng = np.random.RandomState(0)
     small = jnp.zeros((1, 64, 128, 3), jnp.float32)
@@ -79,6 +83,7 @@ def measure_train_step(cfg_name, dtype, batch, h, w, iters, overrides=None):
 
     # Distinct device-staged batches (DESIGN.md §3 honest-harness rules).
     batches = []
+    measure_train_step.last_batch = batch
     for i in range(iters):
         batches.append(jax.device_put({
             "leftImage": rng.rand(batch, h, w, 3).astype(np.float32),
@@ -106,13 +111,41 @@ def measure_train_step(cfg_name, dtype, batch, h, w, iters, overrides=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=3)  # reference imgs_per_gpu
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-device batch; default = each config's own "
+                         "batch_size_per_device (reference imgs_per_gpu)")
     ap.add_argument("--shape", default="256x512")    # reference train crop
     ap.add_argument("--with-unpacked", action="store_true",
                     help="also time each family with packing disabled")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--no-subprocess", action="store_true",
+                    help="run in-process (single family only: compiled "
+                         "executables accumulate HBM across families and "
+                         "OOM the chip — measured round 4)")
     args = ap.parse_args()
     h, w = (int(x) for x in args.shape.split("x"))
+
+    if not args.no_subprocess and args.only is None:
+        # One subprocess per family: the TPU tunnel is single-client and
+        # per-family executables/buffers otherwise accumulate until
+        # RESOURCE_EXHAUSTED (observed after the first family).
+        import subprocess
+        for cfg_name, _ in FAMILIES:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--only", cfg_name, "--iters", str(args.iters),
+                   "--shape", args.shape, "--no-subprocess"]
+            if args.batch is not None:
+                cmd += ["--batch", str(args.batch)]
+            if args.with_unpacked:
+                cmd.append("--with-unpacked")
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            for line in r.stdout.splitlines():
+                if line.startswith(("{", cfg_name)):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(f"{cfg_name}: subprocess rc={r.returncode} "
+                      f"{r.stderr.strip().splitlines()[-1] if r.stderr else ''}")
+        return
 
     print(f"train step @{h}x{w} b{args.batch} (full fwd+loss+grad+update)")
     header = f"{'family':34s} {'f32 ms':>8s} {'bf16 ms':>8s} {'sps(bf16)':>9s}"
@@ -124,18 +157,33 @@ def main():
     for cfg_name, unpack_ov in FAMILIES:
         if args.only and args.only not in cfg_name:
             continue
-        try:
-            ms32, _ = measure_train_step(cfg_name, "float32", args.batch,
-                                         h, w, args.iters)
-            ms16, sps = measure_train_step(cfg_name, "bfloat16", args.batch,
-                                           h, w, args.iters)
-        except Exception as e:
-            print(f"{cfg_name:34s} ERROR {type(e).__name__}: {e}")
+        # bf16 first: it is the shipped TPU default (configs/__init__.py);
+        # f32 may legitimately OOM at the reference batch (AcfNet's
+        # full-res f32 focal-loss volumes exceed v5e HBM) — record OOM for
+        # that column and keep the family.
+        def try_dtype(dtype):
+            try:
+                return measure_train_step(cfg_name, dtype, args.batch,
+                                          h, w, args.iters)
+            except Exception as e:
+                msg = type(e).__name__
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    msg = "OOM"
+                print(f"{cfg_name:34s} {dtype}: {msg}")
+                return None, None
+
+        ms16, sps = try_dtype("bfloat16")
+        if ms16 is None:
             continue
-        row = f"{cfg_name:34s} {ms32:8.1f} {ms16:8.1f} {sps:9.2f}"
+        batch_used = getattr(measure_train_step, "last_batch", args.batch)
+        ms32, _ = try_dtype("float32")
+        row = (f"{cfg_name:34s} "
+               f"{(f'{ms32:8.1f}' if ms32 else '     OOM')} "
+               f"{ms16:8.1f} {sps:9.2f}")
         rec = {"metric": "train_samples_per_sec_per_chip",
-               "family": cfg_name, "shape": f"{h}x{w}", "batch": args.batch,
-               "f32_ms": round(ms32, 1), "bf16_ms": round(ms16, 1),
+               "family": cfg_name, "shape": f"{h}x{w}", "batch": batch_used,
+               "f32_ms": round(ms32, 1) if ms32 else "OOM",
+               "bf16_ms": round(ms16, 1),
                "value": round(sps, 2), "unit": "samples/s/chip"}
         if args.with_unpacked and unpack_ov:
             try:
