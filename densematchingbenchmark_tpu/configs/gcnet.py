@@ -23,7 +23,9 @@ def _base():
             # the volume never materializes except for vis, via DCE) ->
             # 155.5 ms (split_concat: the dense skip concats' stride-2
             # convs run as sum-of-sliced-kernel convs, killing ~27 ms of
-            # concat/pad relayouts). All three are exact schedule changes
+            # concat/pad relayouts) -> 146.2 ms (phase head lane-widening:
+            # out_blocks=4 lifts the head conv from 16 to 64 output
+            # lanes). All are exact schedule changes
             # (tests/ops/test_phase_argmin.py).
             cost_aggregator=dict(type="GCNet", max_disp=192, in_planes=64,
                                  pack=2, phase_argmin=True),
