@@ -32,6 +32,11 @@ class StereoModel:
         self.cfg = cfg
         self.variables = variables
         self._jitted = {}
+        # Ladder memory (ADVICE r4): a failed TPU compile costs 1-2 min, so
+        # never re-attempt a (shape, pack) combo that already failed, and
+        # start new shapes from the last pack level that worked anywhere.
+        self._failed = set()     # (shape_key, pack_label)
+        self._best_pack = None   # last-known-good pack label
 
     def _schedule_ladder(self):
         """(label, cfg) candidates: shipped schedule first, then smaller
@@ -52,23 +57,37 @@ class StereoModel:
         key = (left.shape, right.shape)
         if key in self._jitted:
             return self._jitted[key](self.variables, left, right)
+        ladder = list(self._schedule_ladder())
+        if self._best_pack is not None:
+            # skip rungs above the last-known-good one (they failed for a
+            # previous shape; packs only relax downward)
+            labels = [lb for lb, _ in ladder]
+            if self._best_pack in labels:
+                ladder = ladder[labels.index(self._best_pack):]
         last_err = None
-        for label, cfg_try in self._schedule_ladder():
+        for label, cfg_try in ladder:
+            if (key, label) in self._failed:
+                continue
             model = build_model(cfg_try)
             fn = jax.jit(
                 lambda v, l, r, m=model: m.apply(v, l, r, train=False))
             try:
                 out = fn(self.variables, left, right)
                 jax.block_until_ready(out)
-            except (jax.errors.JaxRuntimeError, RuntimeError) as e:
+            # Narrow catch (ADVICE r4): compile/runtime failures from the
+            # XLA client only — anything else (TypeError, OOM-killed host,
+            # shape bugs) should surface, not silently downgrade.
+            except jax.errors.JaxRuntimeError as e:
                 import logging
                 logging.getLogger("densematchingbenchmark_tpu").warning(
                     "forward %s failed to compile/run at %s (%s: %s); "
                     "retrying a downgraded schedule", label,
                     left.shape, type(e).__name__, str(e)[:200])
+                self._failed.add((key, label))
                 last_err = e
                 continue
             self._jitted[key] = fn
+            self._best_pack = label
             return out
         raise last_err
 

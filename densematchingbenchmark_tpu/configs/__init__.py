@@ -71,12 +71,30 @@ def default_compute_dtype():
     env = os.environ.get("DMB_DEFAULT_DTYPE")
     if env:
         return env
+    # Resolve WITHOUT initializing a backend: jax.default_backend() would
+    # touch the TPU, and on this rig the tunnel is single-client — a config
+    # inspection from a host-side process while a TPU job runs would block
+    # on a futex (a hang the try/except can't catch). The platform list is
+    # known statically: the axon sitecustomize force-sets
+    # jax_platforms='axon,cpu'; tests/CLI set 'cpu'.
     try:
         import jax
-        backend = jax.default_backend()
-    except Exception:  # config inspection without a usable backend
+        platforms = jax.config.jax_platforms or \
+            os.environ.get("JAX_PLATFORMS", "")
+    except Exception:
         return "float32"
-    return "float32" if backend == "cpu" else "bfloat16"
+    first = platforms.split(",")[0].strip().lower() if platforms else ""
+    if first in ("", "cpu"):
+        # unset = platform autodetection; only then ask the backend (the
+        # common paths above never reach this)
+        if not first:
+            try:
+                return ("float32" if jax.default_backend() == "cpu"
+                        else "bfloat16")
+            except Exception:
+                return "float32"
+        return "float32"
+    return "bfloat16"
 
 
 def get_config(name, **overrides):

@@ -168,11 +168,12 @@ class ConvexUpsampler(nn.Module):
                         relu=False, dtype=self.dtype)(m)
         mask = jax.nn.softmax(
             mask.reshape(b, h, w, 64, 9).astype(jnp.float32), axis=-1)
-        # 9 shifted coarse-flow taps [B,h,w,9,2]
-        taps = []
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                taps.append(jnp.roll(flow, (-dy, -dx), axis=(1, 2)))
+        # 9 shifted coarse-flow taps [B,h,w,9,2]: zero-pad + slice (ADVICE
+        # r4 — canonical RAFT's F.unfold zero-pads; jnp.roll would wrap
+        # flow from the opposite image edge into border pixels)
+        padded = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        taps = [padded[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
         nb = jnp.stack(taps, axis=3)                      # [B,h,w,9,2]
         up = jnp.einsum("bhwpk,bhwkc->bhwpc", mask, nb) * 8.0
         up = up.reshape(b, h, w, 8, 8, 2)

@@ -104,3 +104,51 @@ def test_forward_falls_back_on_compile_failure(monkeypatch):
     out = m.forward(left, left)
     assert len(calls) == 2  # first schedule failed, second served
     assert out["disps"][0].shape == (1, 64, 128, 1)
+
+
+def test_ladder_memory_skips_known_failures(monkeypatch):
+    """ADVICE r4: a pack rung that failed once is never re-attempted (a
+    failed TPU compile costs 1-2 min), and a NEW shape starts from the
+    last-known-good rung instead of re-trying the failing shipped pack."""
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu import apis
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+
+    tiny = {"model.max_disp": 32, "model.dtype": "float32",
+            "model.cost_processor.cost_computation.max_disp": 4,
+            "model.cost_processor.cost_aggregator.max_disp": 32,
+            "model.disp_predictor.max_disp": 4,
+            "model.losses.l1_loss.max_disp": 32}
+    cfg = get_config("StereoNet/scene_flow_8x_2stage", **tiny)
+    real_model = build_model(cfg)
+    left = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    variables = real_model.init(jax.random.PRNGKey(0), left, left,
+                                train=False)
+
+    attempted = []
+    real_build = apis.build_model
+
+    def build_spy(c):
+        pack = c["model"]["cost_processor"]["cost_aggregator"]["pack"]
+        attempted.append(pack)
+        if pack == 2:  # the shipped rung always fails
+            class Broken:
+                def apply(self, *a, **kw):
+                    raise jax.errors.JaxRuntimeError("simulated compile 500")
+            return Broken()
+        return real_build(c)
+
+    monkeypatch.setattr(apis, "build_model", build_spy)
+    cfg["model"]["cost_processor"]["cost_aggregator"]["pack"] = 2
+    m = apis.StereoModel(cfg, variables)
+    m.forward(left, left)
+    assert attempted == [2, 0]          # failed shipped rung, then good one
+    # a second, DIFFERENT shape starts directly at the known-good rung
+    left2 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    m.forward(left2, left2)
+    assert attempted == [2, 0, 0]
+    # cached shape: no rebuild at all
+    m.forward(left, left)
+    assert attempted == [2, 0, 0]
