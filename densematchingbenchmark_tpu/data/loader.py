@@ -53,9 +53,17 @@ class DataLoader:
             (self.seed, epoch, int(idx)))
         return self.dataset.__getitem__(int(idx), rng=rng)
 
-    def epoch(self, epoch):
-        """Yield collated batches for one epoch, prefetching in background."""
+    def epoch(self, epoch, start=0):
+        """Yield collated batches for one epoch, prefetching in background.
+
+        start: skip the first ``start`` batches without loading them —
+        exact mid-epoch resume (the sampler's index schedule is a pure
+        function of (seed, epoch), so slicing it reproduces the
+        uninterrupted batch sequence; tools/train.py --resume).
+        """
         indices = self.sampler.epoch_indices(epoch)
+        if start:
+            indices = indices[start:]
         q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

@@ -93,13 +93,15 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
 
     ckpt = CheckpointManager(work_dir)
     start_epoch = 0
+    start_batch = 0  # intra-epoch batch index for exact mid-epoch resume
     if resume:
         restored, meta = ckpt.restore(state)
         if restored is not None:
             state = restored
             start_epoch = (meta or {}).get("epoch", 0)
+            start_batch = (meta or {}).get("batch_in_epoch", 0)
             logger.info(f"resumed from step {int(state.step)} "
-                        f"(epoch {start_epoch})")
+                        f"(epoch {start_epoch}, batch {start_batch})")
 
     state = jax.device_put(state, replicated(mesh))
     step_fn = make_train_step(model, tx, evaluator)
@@ -132,12 +134,12 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
     prof_dir = os.path.join(work_dir, "profile")
     profiling = False
 
-    def device_batches(epoch):
+    def device_batches(epoch, start=0):
         """Host batches -> sharded device batches with 1-deep prefetch:
         the next batch's H2D transfer overlaps the current step (device_put
         is async)."""
         pending = None
-        for batch in loader.epoch(epoch):
+        for batch in loader.epoch(epoch, start=start):
             batch = {k: v for k, v in batch.items()
                      if k in ("leftImage", "rightImage", "leftDisp")}
             nxt = shard_batch(mesh, batch)
@@ -150,7 +152,10 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
     for epoch in range(start_epoch, total_epochs):
         t_data = t_step = 0.0
         t0 = time.perf_counter()
-        for batch in device_batches(epoch):
+        offset = start_batch if epoch == start_epoch else 0
+        batch_in_epoch = offset
+        for batch in device_batches(epoch, start=offset):
+            batch_in_epoch += 1
             t1 = time.perf_counter()
             step_num = int(state.step) + 1
             if prof_start is not None and step_num == prof_start \
@@ -189,8 +194,18 @@ def train_matcher(cfg, work_dir, train_dataset=None, eval_dataset=None,
                 break
 
         if cfg.get("checkpoint", {}).get("interval"):
+            # Exact position: a mid-epoch stop (max_steps) records
+            # (epoch, batch_in_epoch) so --resume skips ahead through the
+            # deterministic sampler and replays the SAME remaining batches;
+            # a completed epoch records the next epoch at batch 0.
+            # (Exceeds the reference, which restarts the epoch:
+            # dmb/apis/train.py:176-179.)
+            completed = batch_in_epoch >= steps_per_epoch
             ckpt.save(int(state.step), jax.device_get(state),
-                      metadata={"epoch": epoch + 1})
+                      metadata=({"epoch": epoch + 1, "batch_in_epoch": 0}
+                                if completed else
+                                {"epoch": epoch,
+                                 "batch_in_epoch": batch_in_epoch}))
 
         if eval_dataset is not None:
             # stride-shard the eval set across hosts (reference

@@ -3,7 +3,11 @@
 Parity target: the reference's epoch .pth checkpoints + runner.resume
 (dmb/apis/train.py:176-179, tools/train.py:108-112): we save the full
 TrainState (params, batch stats, optimizer state, step, PRNG) plus metadata
-(epoch, config) at a step granularity, and restore deterministically.
+(epoch, batch_in_epoch, config) and restore deterministically. The
+(epoch, batch_in_epoch) pair gives EXACT mid-epoch resume: the trainer
+skips ahead through the epoch-seeded deterministic sampler
+(data/loader.py epoch(start=)), reproducing the uninterrupted batch
+sequence — the reference restarts the interrupted epoch instead.
 """
 
 import os
