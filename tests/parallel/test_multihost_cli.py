@@ -22,6 +22,7 @@ TRAIN = os.path.join(ROOT, "tools", "train.py")
 COMMON = ["--config", "StereoNet/scene_flow_8x_2stage", "--cpu",
           "--synthetic", "--synthetic-shape", "64", "128",
           "--synthetic-length", "8", "--max-steps", "2",
+          "--synthetic-eval", "4",
           "--log-interval", "1", "--seed", "0",
           "--override", "model.dtype=float32"]
 
@@ -45,6 +46,17 @@ def _last_loss(work_dir):
     records = [r for r in records if "train/loss" in r]
     assert records, f"no train/loss records in {path}"
     return records[-1]["step"], records[-1]["train/loss"]
+
+
+def _eval_epe(work_dir):
+    path = os.path.join(work_dir, "metrics.log.json")
+    with open(path) as fp:
+        records = [json.loads(line) for line in fp if line.strip()]
+    keys = [k for r in records for k in r if k.startswith("eval/")
+            and k.endswith("epe")]
+    assert keys, f"no eval epe records in {path}"
+    recs = [r for r in records if keys[0] in r]
+    return recs[-1][keys[0]]
 
 
 def test_two_process_cli_train_matches_single_process(tmp_path):
@@ -79,3 +91,11 @@ def test_two_process_cli_train_matches_single_process(tmp_path):
     np.testing.assert_allclose(loss_2p, loss_1p, rtol=1e-5)
     # rank 1 must not have written a metrics file (rank-0-only logging)
     assert not os.path.exists(os.path.join(dirs[1], "metrics.log.json"))
+    # per-epoch eval under 2 processes x 4 devices: each process forwards
+    # its strided shard of the eval set and combine_shard_metrics
+    # allgathers + re-averages (VERDICT r4 #7 — the multi-process branch
+    # of parallel/mesh.py + evaluation/format.py on a REAL model step);
+    # the combined table must equal the single-process eval
+    # (rtol 1e-4: the shard split changes the float reduction order)
+    np.testing.assert_allclose(_eval_epe(dirs[0]), _eval_epe(single_dir),
+                               rtol=1e-4)

@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--synthetic-shape", type=int, nargs=2, default=(256, 512),
                    metavar=("H", "W"))
     p.add_argument("--synthetic-length", type=int, default=16)
+    p.add_argument("--synthetic-eval", type=int, default=0, metavar="N",
+                   help="with --synthetic: also run the per-epoch "
+                        "process-sharded eval on N synthetic samples")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
     p.add_argument("--dtype", default=None,
@@ -134,7 +137,20 @@ def main():
                                     max_disp=min(maxd, 64))
         ds.transform = transforms.make_train_transform(
             (sh, sw), cfg["data"]["mean"], cfg["data"]["std"])
+        eval_ds = None
+        if args.synthetic_eval:
+            # exercises the stride-sharded eval loop + metric allgather
+            # (evaluation/eval_loop.py + combine_shard_metrics) on every
+            # process of a multi-host launch
+            eval_ds = SyntheticStereoDataset(
+                length=args.synthetic_eval, height=sh, width=sw,
+                max_disp=min(maxd, 64), seed=7)
+            eval_ds.transform = transforms.make_eval_transform(
+                (sh, sw), cfg["data"]["mean"], cfg["data"]["std"])
+            cfg["model"].setdefault(
+                "eval", dict(lower_bound=0, upper_bound=maxd))
         train_matcher(cfg, args.work_dir, train_dataset=ds,
+                      eval_dataset=eval_ds,
                       resume=args.resume, max_steps=args.max_steps,
                       log_interval=args.log_interval,
                       profile_steps=profile_steps)
