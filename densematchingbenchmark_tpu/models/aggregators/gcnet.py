@@ -41,6 +41,18 @@ class GCAggregator(nn.Module):
     # (see PSMAggregator.strided_sharding / parallel/mesh docstring).
     strided_sharding: Any = None
     volume_sharding: Any = None
+    # w_pad: static W alignment for the masked-pad eval schedule (0 = off).
+    # XLA's spatial tiling of the full-res W=624 stages runs the trunk
+    # convs at ~half the rate it achieves on aligned widths (round-4/5
+    # xplane + tools/microbench_gcnet_c19.py); padding W up to a multiple
+    # of `w_pad` (624 -> 640 at 384x1248) and re-zeroing the pad columns
+    # after every conv/deconv unit is EXACT: a conv window that reaches
+    # masked-zero columns sees the same zeros the unpadded conv's implicit
+    # boundary padding provides, at every stride level (the mask width
+    # follows the conv arithmetic: s2 vw -> (vw+1)//2, deconv vw -> 2*vw).
+    # Eval/inference only: BN batch stats over padded W would include the
+    # zero columns in train mode.
+    w_pad: int = 0
 
     @nn.compact
     def __call__(self, raw_cost, train: bool = False):
@@ -51,11 +63,25 @@ class GCAggregator(nn.Module):
                 raw_cost, self.strided_sharding)
         f = self.in_planes // 2
         b, d, h, w, _ = raw_cost.shape
+        wp = 0
+        if self.w_pad and not train:
+            target = -(-w // self.w_pad) * self.w_pad
+            if target > w and target % 16 == 0:
+                wp = target - w
+                raw_cost = jnp.pad(
+                    raw_cost, ((0, 0),) * 3 + ((0, wp), (0, 0)))
         pk = self.pack if self.pack and self.pack > 1 else 1
-        if pk > 1 and (d % (16 * pk) != 0 or h % 16 or w % 16):
+        if pk > 1 and (d % (16 * pk) != 0 or h % 16
+                       or raw_cost.shape[3] % 16):
             pk = 1  # safe fallback: same params, unpacked schedule
         if pk > 1:
             raw_cost = pack_volume(raw_cost, pk)
+
+        def mask(x, vw):
+            if not wp or x.shape[3] == vw:
+                return x
+            m = (jnp.arange(x.shape[3]) < vw).astype(x.dtype)
+            return x * m[None, None, None, :, None]
 
         def conv(features, stride=1):
             return ConvUnit(features, 3, stride, 1, dims=3, batch_norm=bn,
@@ -73,34 +99,44 @@ class GCAggregator(nn.Module):
                 return concat_packed([a, b], pk)
             return jnp.concatenate([a, b], -1)
 
-        c18 = raw_cost
-        c19 = conv(f)(c18, train)
-        c20 = conv(f)(c19, train)
-        c21 = conv(f * 2, 2)(cat(c18, c20), train)  # 1/4
-        c22 = conv(f * 2)(c21, train)
-        c23 = conv(f * 2)(c22, train)
-        c24 = conv(f * 2, 2)(cat(c21, c23), train)  # 1/8
-        c25 = conv(f * 2)(c24, train)
-        c26 = conv(f * 2)(c25, train)
-        c27 = conv(f * 2, 2)(cat(c24, c26), train)  # 1/16
-        c28 = conv(f * 2)(c27, train)
-        c29 = conv(f * 2)(c28, train)
-        c30 = conv(f * 4, 2)(cat(c27, c29), train)  # 1/32
-        c31 = conv(f * 4)(c30, train)
-        c32 = conv(f * 4)(c31, train)
+        # valid (unmasked) widths per resolution level under the pad
+        v0 = w
+        v1 = (v0 + 1) // 2
+        v2 = (v1 + 1) // 2
+        v3 = (v2 + 1) // 2
+        v4 = (v3 + 1) // 2
 
-        c33 = deconv(f * 2)(c32, train)
-        c34 = deconv(f * 2)(c33 + c29, train)
-        c35 = deconv(f * 2)(c34 + c26, train)
-        c36 = deconv(f)(c35 + c23, train)
+        c18 = raw_cost
+        c19 = mask(conv(f)(c18, train), v0)
+        c20 = mask(conv(f)(c19, train), v0)
+        c21 = mask(conv(f * 2, 2)(cat(c18, c20), train), v1)  # 1/4
+        c22 = mask(conv(f * 2)(c21, train), v1)
+        c23 = mask(conv(f * 2)(c22, train), v1)
+        c24 = mask(conv(f * 2, 2)(cat(c21, c23), train), v2)  # 1/8
+        c25 = mask(conv(f * 2)(c24, train), v2)
+        c26 = mask(conv(f * 2)(c25, train), v2)
+        c27 = mask(conv(f * 2, 2)(cat(c24, c26), train), v3)  # 1/16
+        c28 = mask(conv(f * 2)(c27, train), v3)
+        c29 = mask(conv(f * 2)(c28, train), v3)
+        c30 = mask(conv(f * 4, 2)(cat(c27, c29), train), v4)  # 1/32
+        c31 = mask(conv(f * 4)(c30, train), v4)
+        c32 = mask(conv(f * 4)(c31, train), v4)
+
+        c33 = mask(deconv(f * 2)(c32, train), 2 * v4)
+        c34 = mask(deconv(f * 2)(c33 + c29, train), 2 * v3)
+        c35 = mask(deconv(f * 2)(c34 + c26, train), 2 * v2)
+        c36 = mask(deconv(f)(c35 + c23, train), 2 * v1)
         po = 1
         if self.phase_argmin:
             # widen the head conv's output lanes toward 64 (16 lanes at
-            # pk=2 measured lane-bound, 8.2 ms/iter — DESIGN.md §8)
+            # pk=2 measured lane-bound, 8.2 ms/iter — DESIGN.md §8):
+            # largest divisor of dq with 8*pk*po <= 64 lanes (descending,
+            # so a non-divisible exact candidate never overshoots the lane
+            # target — ADVICE r4)
             dq = c36.shape[1]
-            for cand in (64 // (8 * pk), 4, 2, 1):
-                if cand >= 1 and dq % max(cand, 1) == 0:
-                    po = max(cand, 1)
+            for cand in range(max(1, 64 // (8 * pk)), 0, -1):
+                if dq % cand == 0:
+                    po = cand
                     break
         c37 = ConvTransposeExact(1, 3, 2, 1, output_padding=1, dims=3,
                                  dtype=dt, pack=pk,
@@ -109,12 +145,18 @@ class GCAggregator(nn.Module):
                                  name="ConvTransposeExact_0")(c36 + c20)
         if self.phase_argmin:
             # [B, D/pk, H, W, pk*8] phase-form cost; the model's
-            # phase_soft_argmin consumes it (pack inferred from channels)
+            # phase_soft_argmin consumes it (pack inferred from channels).
+            # Under the masked W-pad schedule, crop the pad columns here
+            # (the phase W axis is at input resolution).
+            if wp:
+                c37 = c37[:, :, :, :v0, :]
             return [c37]
         if pk > 1 and c37.shape[-1] == pk:
             # packed head output (the bench-only DMB_C1_S2_PHASE=1 path
             # returns the volume already unpacked)
             c37 = unpack_volume(c37, pk)
+        if wp:
+            c37 = c37[:, :, :, :2 * v0]
         # stays in compute dtype: the full-res volume is HBM-bound and the
         # soft-argmin upcasts to f32 internally
         return [c37[..., 0]]

@@ -301,3 +301,54 @@ def test_anynet_refinement_rowpacked_matches_unpacked():
     o4 = r4.apply(variables, [disp], None, None, left, right, train=False)
     np.testing.assert_allclose(np.asarray(o4[0]), np.asarray(o1[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gc_aggregator_wpad_exact():
+    """Masked W-pad schedule (GCAggregator.w_pad): padding W to a static
+    alignment and re-zeroing pad columns after every unit is EXACT — every
+    valid-region conv window sees identical operands (masked zeros ==
+    implicit boundary pad zeros), at all 4 stride levels and the deconv
+    chain. Eval-only schedule for XLA's W=624 tiling deficit
+    (tools/microbench_gcnet_c19.py; DESIGN.md §9)."""
+    from densematchingbenchmark_tpu.models.aggregators.gcnet import (
+        GCAggregator)
+    rng = np.random.RandomState(7)
+    # W=48 pads to 64 at alignment 32; stride chain 48->24->12->6->3
+    raw = jnp.asarray(rng.randn(1, 32, 16, 48, 8), jnp.float32)
+    base = GCAggregator(max_disp=64, in_planes=8, pack=0)
+    padded = GCAggregator(max_disp=64, in_planes=8, pack=0, w_pad=32)
+    variables = base.init(jax.random.PRNGKey(0), raw, train=False)
+    pvars = padded.init(jax.random.PRNGKey(0), raw, train=False)
+    assert (jax.tree.map(lambda x: (x.shape, x.dtype), variables)
+            == jax.tree.map(lambda x: (x.shape, x.dtype), pvars))
+    ref = base.apply(variables, raw, train=False)
+    got = padded.apply(variables, raw, train=False)
+    for r, g in zip(ref, got):
+        assert g.shape == r.shape, (g.shape, r.shape)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6)
+
+    # composes with the packed trunk (pk=2) and the phase-form head
+    packed = GCAggregator(max_disp=64, in_planes=8, pack=2)
+    packed_pad = GCAggregator(max_disp=64, in_planes=8, pack=2, w_pad=32)
+    ref2 = packed.apply(variables, raw, train=False)
+    got2 = packed_pad.apply(variables, raw, train=False)
+    np.testing.assert_allclose(np.asarray(got2[0]), np.asarray(ref2[0]),
+                               rtol=1e-5, atol=1e-5)
+
+    ph = GCAggregator(max_disp=64, in_planes=8, pack=2, phase_argmin=True)
+    ph_pad = GCAggregator(max_disp=64, in_planes=8, pack=2,
+                          phase_argmin=True, w_pad=32)
+    ref3 = ph.apply(variables, raw, train=False)
+    got3 = ph_pad.apply(variables, raw, train=False)
+    assert got3[0].shape == ref3[0].shape
+    np.testing.assert_allclose(np.asarray(got3[0]), np.asarray(ref3[0]),
+                               rtol=1e-5, atol=1e-5)
+
+    # train mode ignores w_pad (BN batch stats must not see pad columns)
+    t_ref, st_ref = base.apply(variables, raw, train=True,
+                               mutable=["batch_stats"])
+    t_got, st_got = padded.apply(variables, raw, train=True,
+                                 mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(t_got[0]), np.asarray(t_ref[0]),
+                               rtol=1e-6, atol=1e-6)

@@ -30,6 +30,7 @@ BASELINES_FPS = {  # GTX1080Ti, BASELINE.md
     "AnyNet/scene_flow": None,
     # flow family — no reference baseline (its flow registry is empty)
     "PWCFlow/flying_chairs": None,
+    "RAFT/flying_chairs": None,
 }
 
 
@@ -136,6 +137,10 @@ def main():
                    help="training batch size (reference trains 3/GPU)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--out", default=None,
+                   help="write the rows as a JSON artifact (e.g. "
+                        "ZOO_BENCH_r05.json) so per-family perf is tracked "
+                        "round-over-round")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -160,6 +165,13 @@ def main():
             row = dict(model=name, error=f"{type(e).__name__}: {e}")
         rows.append(row)
         print(json.dumps(row))
+
+    if args.out:
+        meta = dict(height=args.height, width=args.width, dtype=args.dtype,
+                    iters=args.iters,
+                    mode="train" if args.train else "inference")
+        with open(args.out, "w") as fp:
+            json.dump(dict(meta=meta, rows=rows), fp, indent=1)
 
     if not args.json and not args.train:
         print(f"\n{'model':34s} {'params':>8s} {'GFLOPs':>9s} "

@@ -62,6 +62,13 @@ def main():
                          "cost_aggregator.phase_argmin=True)")
     ap.add_argument("--summarize-only", action="store_true",
                     help="just parse an existing trace dir")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the FULL train step (forward + losses + "
+                         "grads + optimizer + BN stats) instead of the "
+                         "eval forward — the TPU-hours actually go here "
+                         "(VERDICT r4 #4: AcfNet/DeepPruner rooflines)")
+    ap.add_argument("--batch", type=int, default=3,
+                    help="train-mode batch size (reference imgs_per_gpu)")
     args = ap.parse_args()
 
     if args.summarize_only:
@@ -85,6 +92,9 @@ def main():
     model = build_model(cfg)
     out_key = "flows" if cfg.get("task") == "flow" else "disps"
     h, w = args.height, args.width
+    if args.train:
+        _trace_train(args, cfg, model, h, w)
+        return
     small = jnp.zeros((1, 64, 128, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), small, small, train=False)
     fwd = jax.jit(lambda l, r: model.apply(variables, l, r,
@@ -102,6 +112,58 @@ def main():
     jax.block_until_ready(outs)
     jax.profiler.stop_trace()
     print("trace ->", args.out)
+    summarize_xplane(args.out)
+
+
+def _trace_train(args, cfg, model, h, w):
+    """Trace args.iters full train steps with distinct staged batches."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from densematchingbenchmark_tpu.losses import make_loss_evaluator
+    from densematchingbenchmark_tpu.trainer import (TrainState,
+                                                    build_optimizer,
+                                                    make_train_step)
+
+    b = args.batch
+    rng = np.random.RandomState(0)
+
+    def mk_batch(i):
+        r = np.random.RandomState(100 + i)
+        return {
+            "leftImage": jax.device_put(jnp.asarray(
+                r.rand(b, h, w, 3), jnp.float32)),
+            "rightImage": jax.device_put(jnp.asarray(
+                r.rand(b, h, w, 3), jnp.float32)),
+            "leftDisp": jax.device_put(jnp.asarray(
+                r.rand(b, h, w, 1) * 180 + 1, jnp.float32)),
+        }
+
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.rand(b, h, w, 3), jnp.float32),
+        jnp.asarray(rng.rand(b, h, w, 3), jnp.float32), train=False)
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1000)
+    state = TrainState.create(variables, tx, jax.random.PRNGKey(1))
+    evaluator = make_loss_evaluator(
+        cfg["model"]["losses"], sparse=False,
+        cmn_losses_cfg=cfg["model"].get("cmn", {}).get("losses"))
+    step = make_train_step(model, tx, evaluator, donate=False)
+    batches = [mk_batch(i) for i in range(args.iters)]
+    jax.block_until_ready(batches)
+    state, m = step(state, batches[0])   # compile
+    float(m["loss"])
+
+    jax.profiler.start_trace(args.out)
+    t0 = time.perf_counter()
+    for bt in batches:
+        state, m = step(state, bt)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    jax.profiler.stop_trace()
+    print(f"train step {dt*1e3:.1f} ms (b{b}, {args.dtype}); "
+          f"trace -> {args.out}")
     summarize_xplane(args.out)
 
 
