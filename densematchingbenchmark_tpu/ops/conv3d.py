@@ -76,7 +76,7 @@ def set_packed_schedules(classify=None, s1=None):
         assert classify in ("hq", "win3", "te"), classify
         _PACKED_CLASSIFY = classify
     if s1 is not None:
-        assert s1 in ("auto", "hpack", "win3", "pallas"), s1
+        assert s1 in ("auto", "hpack", "win3", "pallas", "shalo"), s1
         _PACKED_S1 = s1
 
 
@@ -316,6 +316,8 @@ def conv3d_packed(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
         h = xp.shape[2]
         h_t = 16 if h % 16 == 0 else 8
         return conv3d_packed_s1_pallas(xp, kernel, pack=pack, h_tile=h_t)
+    if sd == 1 and _PACKED_S1 == "shalo":
+        return conv3d_shalo(xp, kernel, pack, strides, padding, dilation)
     if sd == 1 and (_PACKED_S1 == "hpack"
                     or (_PACKED_S1 == "auto" and ci >= 2 * co)):
         return conv3d_hpack(xp, kernel, pack, strides, padding, dilation)
@@ -379,6 +381,72 @@ def hpack_kernel(kernel, pack):
             kp = kp.at[:, :, h * ci:(h + 1) * ci,
                        q * co:(q + 1) * co].set(kernel[td])
     return kp
+
+
+def shalo_kernels(kernel, pack):
+    """[3,kh,kw,Ci,Co] -> (K_main, K_prev, K_next) split-halo kernels.
+
+    The depth-tap block algebra (td = P*tj + p - q + 1, dpack_kernel): for
+    ANY pack P, the same-row term (tj=0) is the only one with multiple
+    valid blocks, and the cross-row terms each collapse to a SINGLE block:
+    prev row (tj=-1) contributes only (p=P-1, q=0, td=0) and next row
+    (tj=+1) only (p=0, q=P-1, td=2). So the conv splits into one dense
+    [P*Ci -> P*Co] conv on the packed tensor plus two [Ci -> P*Co] convs
+    on a channel slice, with the cross-row outputs shifted one packed row.
+    Identical dense MACs to hpack_kernel's banded form — but no
+    halo-widened (P+2)/P input materialization (the ~40 ms/iter of
+    relayout copies the round-5 GCNet xplane attributes to halo assembly
+    at 384x1248; tools/microbench_gcnet_c19.py)."""
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd == 3, kd
+    km = jnp.zeros((kh, kw, pack * ci, pack * co), kernel.dtype)
+    for p in range(pack):
+        for q in range(pack):
+            td = p - q + 1
+            if 0 <= td <= 2:
+                km = km.at[:, :, p * ci:(p + 1) * ci,
+                           q * co:(q + 1) * co].set(kernel[td])
+    kp = jnp.zeros((kh, kw, ci, pack * co), kernel.dtype)
+    kp = kp.at[:, :, :, 0:co].set(kernel[0])
+    kn = jnp.zeros((kh, kw, ci, pack * co), kernel.dtype)
+    kn = kn.at[:, :, :, (pack - 1) * co:].set(kernel[2])
+    return km, kp, kn
+
+
+def conv3d_shalo(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),
+                 dilation=(1, 1, 1)):
+    """Stride-1(D) conv3d on a packed volume, split-halo form.
+
+    Same contract as conv3d_hpack (kd=3, pd=1, dd=1, sd=1); exactly equal
+    outputs. Three 2-D convs (dense main + two single-block cross-row
+    terms on a Ci channel slice) summed with a one-row shift — the shifted
+    adds fuse, and nothing materializes a widened input."""
+    kd, kh, kw, ci, co = kernel.shape
+    sd, sh, sw = strides
+    pd, ph, pw = padding
+    dd, dh, dw = dilation
+    assert kd == 3 and pd == 1 and dd == 1 and sd == 1, (
+        kernel.shape, strides, padding, dilation)
+    b, r, h, w, pc = xp.shape
+    assert pc == pack * ci, (xp.shape, kernel.shape, pack)
+    km, kpv, knx = shalo_kernels(kernel, pack)
+
+    def conv2(x, k):
+        return lax.conv_general_dilated(
+            x, k, window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+            rhs_dilation=(dh, dw), dimension_numbers=("NHWC", "HWIO",
+                                                      "NHWC"))
+
+    ym = conv2(xp.reshape(b * r, h, w, pc), km)
+    ho, wo = ym.shape[1], ym.shape[2]
+    ym = ym.reshape(b, r, ho, wo, pack * co)
+    yp = conv2(xp[..., (pack - 1) * ci:].reshape(b * r, h, w, ci),
+               kpv).reshape(b, r, ho, wo, pack * co)
+    yn = conv2(xp[..., :ci].reshape(b * r, h, w, ci),
+               knx).reshape(b, r, ho, wo, pack * co)
+    zrow = jnp.zeros_like(yp[:, :1])
+    return (ym + jnp.concatenate([zrow, yp[:, :-1]], 1)
+            + jnp.concatenate([yn[:, 1:], zrow], 1))
 
 
 def conv3d_hpack(xp, kernel, pack, strides=(1, 1, 1), padding=(1, 1, 1),

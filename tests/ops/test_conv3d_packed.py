@@ -195,3 +195,31 @@ def test_te_classify_matches_win3():
     te = c3.conv3d_packed_classify_te(xp, k, pack)
     np.testing.assert_allclose(np.asarray(te), np.asarray(win3),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pack,ci,co", [(2, 8, 4), (2, 4, 4), (4, 8, 8)])
+def test_conv3d_shalo_parity_and_grad(pack, ci, co):
+    """Split-halo form == hpack == dense conv3d, values AND gradients.
+
+    conv3d_shalo evaluates the same banded depth contraction as
+    conv3d_hpack (identical dense MACs) but with no halo-widened input
+    materialization — the GCNet c19/c20 copies fix (DESIGN.md §9,
+    reference aggregators/GCNet.py:31-37 workload)."""
+    import jax
+    from densematchingbenchmark_tpu.ops.conv3d import (conv3d_hpack,
+                                                       conv3d_shalo)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 8, 10, pack * ci) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, ci, co) * 0.1, jnp.float32)
+    ref = conv3d_hpack(x, k, pack)
+    got = conv3d_shalo(x, k, pack)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # gradients route to the true kernel through all three split kernels
+    gr = jax.grad(lambda k_: jnp.sum(jnp.sin(conv3d_hpack(x, k_, pack))))(k)
+    gs = jax.grad(lambda k_: jnp.sum(jnp.sin(conv3d_shalo(x, k_, pack))))(k)
+    # (grad reassociates the three-conv sum — float noise, not structure)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                               rtol=1e-3, atol=1e-4)

@@ -73,7 +73,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
     from densematchingbenchmark_tpu.ops.conv3d import (
-        conv3d_hpack, dpack_kernel, hpack_kernel)
+        conv3d_hpack, conv3d_shalo, dpack_kernel, hpack_kernel)
     from densematchingbenchmark_tpu.ops.pallas.packed_conv3d_kernel import (
         conv3d_packed_s1_pallas)
 
@@ -98,6 +98,10 @@ def main():
 
         timed(f"{sname} hpack W=624 (shipped)",
               lambda x: conv3d_hpack(x, k, P), xp, true_flops, args.iters)
+
+        # split-halo: same dense MACs, no halo-widened input materialization
+        timed(f"{sname} shalo W=624",
+              lambda x: conv3d_shalo(x, k, P), xp, true_flops, args.iters)
 
         for wp in (640, 768):
             xpad = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, wp - W), (0, 0)))
