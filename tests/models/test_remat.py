@@ -59,6 +59,24 @@ def test_remat_param_tree_and_grads_identical():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_remat_reachable_from_config():
+    """VERDICT r4 #4: remat must be a config option, not just a module
+    field — `model.cost_processor.cost_aggregator.remat` flows through
+    build_model to the aggregator (builder.build_aggregator passes all
+    non-type keys as kwargs), so `tools/train.py --override ...remat=True`
+    and `tools/train_throughput.py --set ...remat=True` engage it."""
+    from densematchingbenchmark_tpu.configs import get_config
+    from densematchingbenchmark_tpu.models import build_model
+
+    for name in ("AcfNet/scene_flow_adaptive_f32", "PSMNet/scene_flow_f32"):
+        cfg = get_config(
+            name, **{"model.cost_processor.cost_aggregator.remat": True})
+        model = build_model(cfg)
+        assert model.cost_processor.aggregator.remat is True
+        cfg0 = get_config(name)
+        assert build_model(cfg0).cost_processor.aggregator.remat is False
+
+
 def test_remat_acf_eval_parity():
     rng = np.random.RandomState(1)
     raw = jnp.asarray(rng.randn(1, 16, 8, 12, 16), jnp.float32)

@@ -33,9 +33,18 @@ def test_data_parallel_train_step_matches_single_device():
                                rtol=1e-5)
 
 
-def test_dryrun_multichip():
+_ALL_DRYRUN_FAMILIES = (
+    "PSMNet", "AnyNet", "DeepPruner-4x", "DeepPruner-8x", "AcfNet-adaptive",
+    "GCNet", "StereoNet-2stage", "StereoNet-4stage", "PWCFlow", "RAFT")
+
+
+@pytest.mark.parametrize("family", _ALL_DRYRUN_FAMILIES)
+def test_dryrun_multichip(family):
+    # per-family so xdist spreads the 10 compiles across workers (the
+    # monolithic form ran ~15 min on one worker); the driver still calls
+    # dryrun_multichip(n) with only=None = every family in one process
     import __graft_entry__
-    __graft_entry__.dryrun_multichip(8)
+    __graft_entry__.dryrun_multichip(8, only={family})
 
 
 def test_cost_volume_sharding_constraint_compiles():

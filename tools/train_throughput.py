@@ -118,12 +118,25 @@ def main():
     ap.add_argument("--with-unpacked", action="store_true",
                     help="also time each family with packing disabled")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--set", action="append", default=[], dest="sets",
+                    help="config override key=value (value eval'd as a "
+                         "Python literal), e.g. --set model.cost_processor."
+                         "cost_aggregator.remat=True for the AcfNet-f32 "
+                         "remat fit (VERDICT r4 #4)")
     ap.add_argument("--no-subprocess", action="store_true",
                     help="run in-process (single family only: compiled "
                          "executables accumulate HBM across families and "
                          "OOM the chip — measured round 4)")
     args = ap.parse_args()
     h, w = (int(x) for x in args.shape.split("x"))
+    import ast
+    cli_overrides = {}
+    for kv in args.sets:
+        k, v = kv.split("=", 1)
+        try:
+            cli_overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            cli_overrides[k] = v
 
     if not args.no_subprocess and args.only is None:
         # One subprocess per family: the TPU tunnel is single-client and
@@ -138,6 +151,8 @@ def main():
                 cmd += ["--batch", str(args.batch)]
             if args.with_unpacked:
                 cmd.append("--with-unpacked")
+            for kv in args.sets:
+                cmd += ["--set", kv]
             r = subprocess.run(cmd, capture_output=True, text=True)
             for line in r.stdout.splitlines():
                 if line.startswith(("{", cfg_name)):
@@ -164,7 +179,8 @@ def main():
         def try_dtype(dtype):
             try:
                 return measure_train_step(cfg_name, dtype, args.batch,
-                                          h, w, args.iters)
+                                          h, w, args.iters,
+                                          overrides=cli_overrides)
             except Exception as e:
                 msg = type(e).__name__
                 if "RESOURCE_EXHAUSTED" in str(e):
@@ -188,7 +204,8 @@ def main():
         if args.with_unpacked and unpack_ov:
             try:
                 msu, _ = measure_train_step(cfg_name, "bfloat16", args.batch,
-                                            h, w, args.iters, unpack_ov)
+                                            h, w, args.iters,
+                                            {**unpack_ov, **cli_overrides})
                 row += f" {msu:9.1f} {msu / ms16:7.2f}"
                 rec["unpacked_bf16_ms"] = round(msu, 1)
             except Exception as e:
