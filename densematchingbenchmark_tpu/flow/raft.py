@@ -95,13 +95,59 @@ def all_pairs_corr_pyramid(fm1, fm2, levels=4):
     return pyramid
 
 
+def _tent_weights(coords, size):
+    """[..., k] fractional coords -> [..., k, size] bilinear tap weights.
+
+    w[..., i, c] = max(0, 1 - |coords[..., i] - c|): the two integer taps
+    of linear interpolation as a dense "two-hot" row, with out-of-range
+    taps contributing 0 (zero-padding semantics — a coordinate outside
+    [0, size-1] keeps only the weight of its in-range tap, exactly what
+    gather_1d_linear's validity mask produces)."""
+    cells = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - cells))
+
+
 def corr_lookup(pyramid, coords, radius=3):
     """Sample each pyramid level in a (2r+1)^2 window around the current
     correspondence estimate; returns [B, h, w, levels*(2r+1)^2].
 
-    Bilinear sampling = two chained 1-D linear gathers (separable), the
-    framework's standard bounded-gather idiom (ops/warp.py).
+    TPU-first schedule (round 5): separable bilinear sampling is computed
+    as two tent-weight CONTRACTIONS per level —
+        t[n,i,:]  = sum_ch  Wy[n,i,ch] * corr[n,ch,:]     (rows)
+        out[n,i,j] = sum_cw t[n,i,cw]  * Wx[n,j,cw]       (columns)
+    where Wy/Wx are the dense two-hot bilinear rows from _tent_weights.
+    This replaces the original chained take_along_axis gathers, whose
+    XLA:TPU lowering was scalar (T(1024)-tiled [N,7,7] fusions at ~187 ms
+    of RAFT's 247 ms forward, xplane r5); the contractions stream on the
+    MXU instead. Same idiom as DeepPruner's PatchMatch tent-window scoring
+    (ops/patch_match.py). A/B + parity: tests/flow/test_raft.py,
+    DESIGN.md §9.
     """
+    b, h, w = coords.shape[:3]
+    n = 2 * radius + 1
+    offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    feats = []
+    for lvl, corr in enumerate(pyramid):
+        ch, cw = corr.shape[3:5]
+        scale = 0.5 ** lvl
+        N = b * h * w
+        cy = coords[..., 1].reshape(N) * scale
+        cx = coords[..., 0].reshape(N) * scale
+        wy = _tent_weights(cy[:, None] + offs, ch)        # [N,n,ch]
+        wx = _tent_weights(cx[:, None] + offs, cw)        # [N,n,cw]
+        src = corr.reshape(N, ch, cw)
+        t = jnp.einsum("nic,ncw->niw", wy, src,
+                       preferred_element_type=jnp.float32)
+        out = jnp.einsum("niw,njw->nij", t, wx,
+                         preferred_element_type=jnp.float32)
+        feats.append(out.reshape(b, h, w, n * n))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def corr_lookup_gather(pyramid, coords, radius=3):
+    """Reference lowering of corr_lookup via chained 1-D linear gathers
+    (ops/warp.gather_1d_linear). Kept as the parity oracle for the
+    tent-contraction fast path; not used in the forward."""
     b, h, w = coords.shape[:3]
     n = 2 * radius + 1
     offs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)

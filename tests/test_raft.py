@@ -13,7 +13,8 @@ from densematchingbenchmark_tpu.configs import get_config
 from densematchingbenchmark_tpu.flow.models import build_flow_model
 from densematchingbenchmark_tpu.flow.losses import flow_l1_loss
 from densematchingbenchmark_tpu.flow.raft import (all_pairs_corr_pyramid,
-                                                  corr_lookup)
+                                                  corr_lookup,
+                                                  corr_lookup_gather)
 
 
 def _tiny_cfg(iters=2):
@@ -42,6 +43,26 @@ def test_corr_pyramid_and_lookup_shapes():
     want = np.einsum("bhwc,bhwc->bhw", np.asarray(fm1),
                      np.asarray(fm2)) / np.sqrt(16.0)
     np.testing.assert_allclose(center, want, rtol=1e-5, atol=1e-5)
+
+
+def test_corr_lookup_tent_contraction_matches_gather():
+    """The round-5 MXU schedule (two tent-weight contractions) must equal
+    the chained gather_1d_linear oracle bit-for-bit in semantics: interior
+    coords, fractional coords, and out-of-range window taps (zero-pad)."""
+    rng = np.random.RandomState(3)
+    fm1 = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.float32)
+    fm2 = jnp.asarray(rng.randn(2, 8, 12, 16), jnp.float32)
+    pyr = all_pairs_corr_pyramid(fm1, fm2, levels=3)
+    # coords spill past every border (x in [-3, 15), y in [-3, 11)) so the
+    # 7x7 window exercises fully-out-of-range taps at every level
+    coords = jnp.asarray(
+        np.stack([rng.rand(2, 8, 12) * 18 - 3,
+                  rng.rand(2, 8, 12) * 14 - 3], axis=-1), jnp.float32)
+    fast = corr_lookup(pyr, coords, radius=3)
+    oracle = corr_lookup_gather(pyr, coords, radius=3)
+    assert fast.shape == oracle.shape == (2, 8, 12, 3 * 49)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(oracle),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_raft_forward_loss_grad():
